@@ -1,0 +1,7 @@
+from mage_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    local_batch_slice,
+)
