@@ -1,0 +1,332 @@
+"""Stage-2 building blocks: attention, axial blocks, text encoder, 3D-conv
+posterior blocks, AdaIN.
+
+Reference components re-designed for TPU (reference: modules/mage_model.py):
+
+- ``AxialAttentionBlock`` (:15-70): attention along exactly one axis of the
+  (B, T, H, W, C) token grid, the others folded into batch — the
+  reference's permute/view dance becomes a ``moveaxis``+reshape around a
+  fused-QKV attention whose batched matmuls tile straight onto the MXU.
+- ``CrossAttentionBlock`` (:72-102): the reference switches MAGE/MAGE+
+  behavior by commenting code in/out (:92-93); here it's a ``pre_ln`` flag.
+- ``TransformerTextEncoder`` (:180-262): token+position embeddings -> LN ->
+  dropout -> pad-masked post-LN encoder stack -> LN -> projection.
+- ``BasicBlock3D`` (:264-297), ``AdaIN2D`` (:299-314).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # additive mask value (float('-inf') breaks softmax grads)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) (reference mage_model.py:11-13)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Batched MHA with additive bias and key-padding masking.
+
+    Equivalent surface to torch nn.MultiheadAttention as the reference uses
+    it (attn_mask additive float mask: mage_model.py:31-33;
+    key_padding_mask: :87-89) — fused per-head einsums for XLA.
+    """
+
+    d_model: int
+    n_head: int
+    attn_dropout: float = 0.0
+    kernel_init: Callable = nn.initializers.normal(0.02)
+    out_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jax.Array,
+        k: jax.Array,
+        v: jax.Array,
+        bias: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,
+        train: bool = True,
+    ) -> jax.Array:
+        d, h = self.d_model, self.n_head
+        hd = d // h
+        dense = lambda name, init: nn.DenseGeneral(
+            (h, hd), axis=-1, kernel_init=init, name=name
+        )
+        qh = dense("q_proj", self.kernel_init)(q)
+        kh = dense("k_proj", self.kernel_init)(k)
+        vh = dense("v_proj", self.kernel_init)(v)
+        scores = jnp.einsum("...qhd,...khd->...hqk", qh, kh) / jnp.sqrt(
+            jnp.asarray(hd, qh.dtype)
+        )
+        if bias is not None:
+            scores = scores + bias  # (Lq, Lk) or broadcastable
+        if key_padding_mask is not None:
+            # True = masked (torch convention); shape (B, Lk)
+            scores = scores + jnp.where(
+                key_padding_mask[:, None, None, :], NEG_INF, 0.0
+            ).astype(scores.dtype)
+        weights = jax.nn.softmax(scores, axis=-1)
+        if self.attn_dropout > 0.0:
+            weights = nn.Dropout(self.attn_dropout, deterministic=not train)(weights)
+        out = jnp.einsum("...hqk,...khd->...qhd", weights, vh)
+        return nn.DenseGeneral(
+            d,
+            axis=(-2, -1),
+            kernel_init=self.out_init or self.kernel_init,
+            name="out_proj",
+        )(out)
+
+
+class MLP(nn.Module):
+    """d -> 4d -> d with QuickGELU (reference mage_model.py:22-26)."""
+
+    d_model: int
+    fc_init: Callable = nn.initializers.normal(0.02)
+    proj_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.d_model * 4, kernel_init=self.fc_init, name="c_fc")(x)
+        x = quick_gelu(x)
+        return nn.Dense(self.d_model, kernel_init=self.proj_init, name="c_proj")(x)
+
+
+class AxialAttentionBlock(nn.Module):
+    """Pre-LN self-attention + MLP along one axis of (B, T, H, W, C).
+
+    ``axial_dim``: 1 = T, 2 = H, 3 = W (reference mage_model.py:16,29,41-44).
+    ``attn_bias``: additive (L, L) mask for the attended axis (the causal
+    temporal mask, :380-382). FLOPs estimator parity at :55-70.
+    """
+
+    d_model: int
+    n_head: int
+    dropout: float = 0.1
+    axial_dim: int = 1
+    attn_init: Callable = nn.initializers.normal(0.02)
+    proj_init: Callable = nn.initializers.normal(0.02)
+    fc_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        attn_bias: Optional[jax.Array] = None,
+        train: bool = True,
+    ) -> jax.Array:
+        ndim = x.ndim
+        axis = self.axial_dim if self.axial_dim > 0 else self.axial_dim + ndim
+        moved = jnp.moveaxis(x, axis, -2)  # (..., L, C)
+        shape = moved.shape
+        seq = moved.reshape(-1, shape[-2], shape[-1])
+
+        attn = MultiHeadAttention(
+            self.d_model,
+            self.n_head,
+            kernel_init=self.attn_init,
+            out_init=self.proj_init,
+            name="attn",
+        )
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+        h = nn.LayerNorm(name="ln_1")(seq)
+        seq = seq + drop(attn(h, h, h, bias=attn_bias, train=train))
+        h = nn.LayerNorm(name="ln_2")(seq)
+        seq = seq + drop(
+            MLP(self.d_model, fc_init=self.fc_init, proj_init=self.proj_init, name="mlp")(h)
+        )
+
+        return jnp.moveaxis(seq.reshape(shape), -2, axis)
+
+    def flops(self, token_num: int, axis_len: int) -> int:
+        d = self.d_model
+        return (
+            3 * token_num * d * d
+            + token_num * axis_len * d * 2
+            + 2 * token_num * d * d * 4
+            + token_num * d * 2
+        )
+
+
+class CrossAttentionBlock(nn.Module):
+    """q x (k, v) cross-attention + MLP (reference TransformerBlock,
+    mage_model.py:72-102). ``pre_ln=False`` reproduces MAGE (no LN on q/kv,
+    :92); ``pre_ln=True`` reproduces MAGE+ (:93)."""
+
+    d_model: int
+    n_head: int
+    dropout: float = 0.1
+    pre_ln: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jax.Array,
+        k: jax.Array,
+        v: jax.Array,
+        key_padding_mask: Optional[jax.Array] = None,
+        train: bool = True,
+    ) -> jax.Array:
+        attn = MultiHeadAttention(self.d_model, self.n_head, name="attn")
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+        if self.pre_ln:
+            ln_q = nn.LayerNorm(name="ln_q")
+            ln_kv = nn.LayerNorm(name="ln_kv")
+            x = q + drop(
+                attn(ln_q(q), ln_kv(k), ln_kv(v), key_padding_mask=key_padding_mask, train=train)
+            )
+        else:
+            x = q + drop(attn(q, k, v, train=train))
+        x = x + drop(MLP(self.d_model, name="mlp")(nn.LayerNorm(name="ln_2")(x)))
+        return x
+
+
+class MAEncoder(nn.Module):
+    """Motion-Anchor encoder: ``layers`` CrossAttentionBlocks; queries =
+    first-frame tokens, kv = text embeddings (reference mage_model.py:104-123)."""
+
+    layers: int
+    d_model: int
+    dropout: float = 0.1
+    pre_ln: bool = False
+
+    @nn.compact
+    def __call__(self, x, kv, key_padding_mask=None, train: bool = True):
+        for i in range(self.layers):
+            x = CrossAttentionBlock(
+                self.d_model,
+                self.d_model // 32,
+                self.dropout,
+                pre_ln=self.pre_ln,
+                name=f"block_{i}",
+            )(x, kv, kv, key_padding_mask=key_padding_mask, train=train)
+        return x
+
+
+class _TorchStyleEncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer matching torch's
+    nn.TransformerEncoderLayer (used at reference mage_model.py:192-200):
+    gelu MLP, dropout on attention weights and both residuals."""
+
+    width: int
+    n_head: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, train: bool = True):
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+        h = MultiHeadAttention(
+            self.width, self.n_head, attn_dropout=self.dropout, name="self_attn"
+        )(x, x, x, key_padding_mask=key_padding_mask, train=train)
+        x = nn.LayerNorm(name="norm1")(x + drop(h))
+        h = nn.Dense(self.width * 4, kernel_init=nn.initializers.normal(0.02), name="linear1")(x)
+        h = drop(jax.nn.gelu(h, approximate=False))
+        h = nn.Dense(self.width, kernel_init=nn.initializers.normal(0.02), name="linear2")(h)
+        return nn.LayerNorm(name="norm2")(x + drop(h))
+
+
+class TransformerTextEncoder(nn.Module):
+    """Reference mage_model.py:180-262. Token+position embeddings -> LN ->
+    dropout -> zero pad positions -> post-LN encoder stack with key-padding
+    mask -> final LN -> linear projection."""
+
+    vocab_size: int
+    transformer_width: int
+    transformer_layers: int
+    output_dim: int
+    context_length: int
+    padding_idx: int = 0
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, text: jax.Array, train: bool = True) -> jax.Array:
+        emb_init = nn.initializers.normal(0.02)
+        tok = nn.Embed(
+            self.vocab_size, self.transformer_width, embedding_init=emb_init,
+            name="token_embedding",
+        )(text)
+        positions = jnp.arange(text.shape[-1])[None, :]
+        pos = nn.Embed(
+            self.context_length, self.transformer_width, embedding_init=emb_init,
+            name="positions",
+        )(positions)
+        x = nn.LayerNorm(epsilon=1e-8, name="layer_norm")(tok + pos)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        token_mask = text != self.padding_idx
+        x = x * token_mask[..., None].astype(x.dtype)
+        # positions at/after the caption length are masked in attention
+        # (reference :236-237: length < cumsum(ones))
+        text_length = jnp.sum(token_mask, axis=-1, keepdims=True)
+        caption_mask = text_length < jnp.cumsum(jnp.ones_like(text), axis=-1)
+
+        for i in range(self.transformer_layers):
+            x = _TorchStyleEncoderLayer(
+                self.transformer_width,
+                self.transformer_width // 32,
+                self.dropout,
+                name=f"layer_{i}",
+            )(x, key_padding_mask=caption_mask, train=train)
+        x = nn.LayerNorm(name="ln_text_final")(x)
+        return nn.Dense(
+            self.output_dim, kernel_init=emb_init, name="text_projection"
+        )(x)
+
+
+class BasicBlock3D(nn.Module):
+    """3D-conv residual block with GroupNorm(16) and temporal stride
+    (reference mage_model.py:264-297). Input (B, T, H, W, C)."""
+
+    out_planes: int
+    stride: int = 1
+    stride_t: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        strides = (self.stride_t, self.stride, self.stride)
+        residual = x
+        h = nn.Conv(
+            self.out_planes, (3, 3, 3), strides=strides, padding=1, use_bias=False,
+            kernel_init=kaiming, name="conv1",
+        )(x)
+        h = nn.GroupNorm(num_groups=16, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.out_planes, (3, 3, 3), padding=1, use_bias=False,
+            kernel_init=kaiming, name="conv2",
+        )(h)
+        h = nn.GroupNorm(num_groups=16, name="bn2")(h)
+        if self.downsample:
+            residual = nn.Conv(
+                self.out_planes, (3, 3, 3), strides=strides, padding=1,
+                use_bias=False, kernel_init=kaiming, name="downsample_conv",
+            )(x)
+            residual = nn.GroupNorm(num_groups=16, name="downsample_norm")(residual)
+        return nn.relu(h + residual)
+
+
+class AdaIN2D(nn.Module):
+    """Instance-norm (over H, W, no affine) modulated by conv-predicted
+    per-pixel gamma/beta from a conditioning map
+    (reference ADAIN2D, mage_model.py:299-314). Inputs NHWC."""
+
+    num_features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        out = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        gamma = nn.Conv(self.num_features, (3, 3), padding=1, name="conv_mu_0")(y)
+        gamma = nn.Conv(self.num_features, (3, 3), padding=1, name="conv_mu_1")(gamma)
+        beta = nn.Conv(self.num_features, (3, 3), padding=1, name="conv_var_0")(y)
+        beta = nn.Conv(self.num_features, (3, 3), padding=1, name="conv_var_1")(beta)
+        return gamma * out + beta

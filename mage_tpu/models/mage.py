@@ -1,0 +1,367 @@
+"""MAGE stage-2: causal axial spatio-temporal video transformer.
+
+Re-design of the reference's ``FlatAxialDecoder`` + ``MAGE``
+(reference: modules/mage_model.py:317-390, 446-693) as pure flax modules
+over explicit latents:
+
+- The frozen first stage is *not* inside this module. The reference embeds
+  it and freezes with requires_grad=False + a train() monkeypatch
+  (:440-443,516-521); here ``MAGECore`` consumes stage-1 latents and the
+  composition lives in :mod:`mage_tpu.models.pipeline` — trainable state is
+  exactly ``MAGECore``'s params, nothing to freeze.
+- The stochastic branch returns (kl, mu, logvar) and the *final* loss
+  assembly (fixed beta/alpha vs PID auto-beta, :624-636) happens in the
+  train step where the host-side PID controller lives.
+- ``generate`` runs the reference's buffer-overwrite autoregressive loop
+  (:670-684) as a single fused ``lax.fori_loop`` under jit instead of L-1
+  separate host-dispatched decoder passes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mage_tpu.models.layers import (
+    NEG_INF,
+    AdaIN2D,
+    AxialAttentionBlock,
+    BasicBlock3D,
+    MAEncoder,
+    TransformerTextEncoder,
+)
+
+
+def causal_temporal_bias(length: int, dtype=jnp.float32) -> jax.Array:
+    """Additive lower-triangular mask (reference build_casual_attention_mask,
+    mage_model.py:367-372)."""
+    return jnp.triu(jnp.full((length, length), NEG_INF, dtype), k=1)
+
+
+class FlatAxialDecoder(nn.Module):
+    """Axial spatio-temporal generator (reference mage_model.py:317-390).
+
+    ``layers`` AxialAttentionBlocks cycle axes T, H, W (``i % 3``); every
+    T-layer applies the causal temporal mask. The motion anchor is
+    prepended as pseudo-frame 0; outputs predict frames 1..L-1.
+    """
+
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    frames_length: int
+    layers: int
+    context_channels: Optional[int] = None
+    use_cids: bool = True
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, motion: jax.Array, imgs: jax.Array, train: bool = True):
+        """motion (B, h, w, Cctx); imgs (B, L-1, h, w, Cin) ->
+        (B, L-1, h, w, out_channels) logits/latents."""
+        mc = self.model_channels
+        imgs = nn.Dense(mc, name="in_linear")(imgs)
+        motion = nn.Dense(mc, name="context_linear")(motion)
+        x = jnp.concatenate([motion[:, None], imgs], axis=1)
+        t_pos = self.param(
+            "T_positional_embedding",
+            lambda rng: mc**-0.5
+            * jax.random.normal(rng, (self.frames_length, 1, 1, mc)),
+        )
+        x = x + t_pos
+
+        # CLIP-style scaled init (reference initialize_parameters, :357-365)
+        proj_std = (mc**-0.5) * ((2 * self.layers) ** -0.5)
+        attn_std = mc**-0.5
+        fc_std = (2 * mc) ** -0.5
+        bias = causal_temporal_bias(self.frames_length, x.dtype)
+        for i in range(self.layers):
+            x = AxialAttentionBlock(
+                mc,
+                mc // 32,
+                dropout=self.dropout,
+                axial_dim=i % 3 + 1,
+                attn_init=nn.initializers.normal(attn_std),
+                proj_init=nn.initializers.normal(proj_std),
+                fc_init=nn.initializers.normal(fc_std),
+                name=f"block_{i}",
+            )(x, attn_bias=bias if i % 3 == 0 else None, train=train)
+
+        x = x[:, 1:]  # drop the anchor pseudo-frame
+        if self.use_cids:
+            return nn.Dense(self.out_channels, name="out")(x)
+        h = nn.GroupNorm(num_groups=32, name="out_norm")(x)
+        h = nn.silu(h)
+        # zero-init 1x1x1 conv3d head (reference zero_module, :350-354)
+        return nn.Dense(
+            self.out_channels,
+            kernel_init=nn.initializers.zeros,
+            name="out_conv",
+        )(h)
+
+
+class MAGECore(nn.Module):
+    """All trainable stage-2 state (reference MAGE minus the frozen first
+    stage, mage_model.py:446-639)."""
+
+    codebook_size: int
+    frames_length: int
+    image_resolution: int
+    vision_width: int
+    embed_dim: int = 4  # first-stage latent channels when use_cids=False
+    dropout: float = 0.1
+    use_cids: bool = False
+    randomness: bool = False
+    pre_ln: bool = False  # MAGE+ cross-attention variant (:92-93)
+    # text encoder
+    text_vocab_size: int = 30
+    text_context_length: int = 32
+    text_width: int = 512
+    text_layers: int = 2
+    text_output_dim: int = 512
+    text_padding_idx: int = 0
+    text_dropout: float = 0.1
+    # motion-anchor encoder
+    ma_layers: int = 1
+    ma_d_model: int = 512
+    # generator
+    dec_layers: int = 6
+    dec_out_channels: int = 512
+
+    def setup(self):
+        w = self.vision_width
+        if self.use_cids:
+            self.visual_token_embedding = nn.Embed(
+                self.codebook_size, w,
+                embedding_init=nn.initializers.normal(0.02),
+            )
+        else:
+            self.visual_token_projection = nn.Dense(
+                w, kernel_init=nn.initializers.normal(0.02)
+            )
+        self.conv = nn.Conv(w, (3, 3), padding=1, use_bias=False)
+        scale = w**-0.5
+        self.speed_embedding = self.param(
+            "speed_embedding", lambda rng: scale * jax.random.normal(rng, (1, w))
+        )
+        r = self.image_resolution
+        self.H_positional_embedding = self.param(
+            "H_positional_embedding",
+            lambda rng: scale * jax.random.normal(rng, (r, 1, w)),
+        )
+        self.W_positional_embedding = self.param(
+            "W_positional_embedding",
+            lambda rng: scale * jax.random.normal(rng, (1, r, w)),
+        )
+        self.text_encoder = TransformerTextEncoder(
+            vocab_size=self.text_vocab_size,
+            transformer_width=self.text_width,
+            transformer_layers=self.text_layers,
+            output_dim=self.text_output_dim,
+            context_length=self.text_context_length,
+            padding_idx=self.text_padding_idx,
+            dropout=self.text_dropout,
+        )
+        self.ma_encoder = MAEncoder(
+            layers=self.ma_layers,
+            d_model=self.ma_d_model,
+            dropout=self.dropout,
+            pre_ln=self.pre_ln,
+        )
+        self.generate_model = FlatAxialDecoder(
+            in_channels=w,
+            model_channels=self.ma_d_model,
+            out_channels=self.dec_out_channels,
+            frames_length=self.frames_length,
+            layers=self.dec_layers,
+            context_channels=self.ma_d_model,
+            use_cids=self.use_cids,
+            dropout=self.dropout,
+        )
+        if self.randomness:
+            self.conv3d = [
+                BasicBlock3D(w, stride=1, stride_t=2, downsample=True),
+                BasicBlock3D(w, stride=1, stride_t=2, downsample=True),
+                BasicBlock3D(w, stride=1, stride_t=2, downsample=True),
+                BasicBlock3D(self.ma_d_model, stride=1, stride_t=2, downsample=True),
+            ]
+            self.conv_mu2 = nn.Conv(64, (3, 3), padding=1)
+            self.conv_var2 = nn.Conv(64, (3, 3), padding=1)
+            self.conv_d2 = nn.Conv(w, (3, 3), padding=1, use_bias=False)
+            self.adain = AdaIN2D(w)
+
+    # ---- pieces -----------------------------------------------------------
+
+    def embed_latents(self, x: jax.Array) -> jax.Array:
+        """ids (B, L, h, w) or continuous (B, L, h, w, c) ->
+        (B, L, h, w, width) (reference :580-583)."""
+        if self.use_cids:
+            return self.visual_token_embedding(x.astype(jnp.int32))
+        return self.visual_token_projection(x)
+
+    def stem(self, x_emb: jax.Array) -> jax.Array:
+        """Per-frame 3x3 conv + separable H/W positional embeddings
+        (reference :586-588). (B, L', h, w, C) -> same."""
+        b, l, h, w, c = x_emb.shape
+        out = self.conv(x_emb.reshape(b * l, h, w, c)).reshape(b, l, h, w, c)
+        return out + self.H_positional_embedding + self.W_positional_embedding
+
+    def compute_motion_anchor(
+        self,
+        first_tokens: jax.Array,  # (B, h*w, C)
+        text_emb: jax.Array,
+        video_emb: Optional[jax.Array],  # (B, h, w, 64) sample, if randomness
+        speed: Optional[jax.Array],
+        train: bool = True,
+    ) -> jax.Array:
+        b = first_tokens.shape[0]
+        r = self.image_resolution
+        anchor = self.ma_encoder(first_tokens, text_emb, train=train)
+        anchor = anchor.reshape(b, r, r, -1)
+        if self.randomness:
+            assert video_emb is not None
+            cond = self.conv_d2(video_emb)
+            anchor = self.adain(anchor, cond)
+        if speed is not None:
+            speed_emb = speed.reshape(b, 1) @ self.speed_embedding  # (B, C)
+            anchor = anchor + speed_emb[:, None, None, :]
+        return anchor
+
+    def video_posterior(self, x_emb: jax.Array):
+        """3D-conv pyramid over the full embedded video -> (mu, logvar)
+        (reference :600-603). (B, L, h, w, C) -> two (B, h, w, 64)."""
+        h = x_emb
+        for block in self.conv3d:
+            h = block(h)
+        h = h.squeeze(1)  # T collapsed to 1
+        return self.conv_mu2(h), self.conv_var2(h)
+
+    def speed_l2(self, speed: jax.Array) -> jax.Array:
+        """alpha-regularizer: mean ||speed_emb||^2 (reference :633)."""
+        emb = speed.reshape(-1, 1) @ self.speed_embedding
+        return jnp.mean(jnp.sum(emb**2, axis=-1))
+
+    # ---- training forward -------------------------------------------------
+
+    def __call__(
+        self,
+        latents: jax.Array,
+        text: jax.Array,
+        speed: Optional[jax.Array] = None,
+        train: bool = True,
+        test_flag: bool = False,
+    ) -> dict:
+        """Teacher-forced forward (reference :575-639). Returns raw loss
+        terms; beta/alpha weighting happens in the train step."""
+        x_emb = self.embed_latents(latents)
+        b = x_emb.shape[0]
+        prior_img = self.stem(x_emb[:, : self.frames_length - 1])
+        first_tokens = prior_img[:, 0].reshape(b, -1, x_emb.shape[-1])
+        text_emb = self.text_encoder(text, train=train)
+
+        video_emb = None
+        mu = logvar = None
+        if self.randomness:
+            mu, logvar = self.video_posterior(x_emb)
+            eps = jax.random.normal(self.make_rng("latent"), logvar.shape)
+            video_emb = mu + eps * jnp.exp(0.5 * logvar)
+            if test_flag:  # prior sampling at test (reference :604-605)
+                video_emb = jax.random.normal(self.make_rng("latent"), logvar.shape)
+
+        anchor = self.compute_motion_anchor(
+            first_tokens, text_emb, video_emb, speed, train=train
+        )
+        predict = self.generate_model(anchor, prior_img, train=train)
+
+        if self.use_cids:
+            labels = latents[:, 1 : self.frames_length].astype(jnp.int32)
+            logits = predict.reshape(-1, self.codebook_size)
+            recon = jnp.mean(
+                -jax.nn.log_softmax(logits)[
+                    jnp.arange(logits.shape[0]), labels.reshape(-1)
+                ]
+            )
+        else:
+            recon = jnp.mean((predict - latents[:, 1:]) ** 2)
+
+        out = {"prediction": recon, "predict": predict}
+        if self.randomness:
+            mu_f = mu.reshape(b, -1)
+            logvar_f = logvar.reshape(b, -1)
+            out["kl_loss"] = -0.5 * jnp.mean(
+                jnp.sum(1 + logvar_f - mu_f**2 - jnp.exp(logvar_f), axis=1)
+            )
+        if speed is not None:
+            out["speed_l2"] = self.speed_l2(speed)
+        return out
+
+    # ---- autoregressive generation ---------------------------------------
+
+    def generate(
+        self,
+        latents0: jax.Array,
+        text: jax.Array,
+        speed: Optional[jax.Array] = None,
+        video_noise: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Greedy frame-by-frame generation from the first frame's latents
+        (reference autoregressive_generate, :641-693). ``latents0``:
+        (B, 1, h, w[, c]). Returns generated latents for frames 1..L-1:
+        ids (B, L-1, h, w) or continuous (B, L-1, h, w, c).
+
+        Semantics parity: the input buffer is pre-filled with the
+        first-frame embedding and slot i+1 is overwritten with the
+        embedding of frame i's prediction each step; the causal mask hides
+        the stale future slots (:670-684).
+        """
+        x_emb0 = self.embed_latents(latents0)  # (B, 1, h, w, C)
+        b, _, h, w, c = x_emb0.shape
+        first_tokens = self.stem(x_emb0)[:, 0].reshape(b, -1, c)
+        text_emb = self.text_encoder(text, train=False)
+
+        video_emb = None
+        if self.randomness:
+            video_emb = (
+                video_noise
+                if video_noise is not None
+                else jax.random.normal(self.make_rng("latent"), (b, h, w, 64))
+            )
+        anchor = self.compute_motion_anchor(
+            first_tokens, text_emb, video_emb, speed, train=False
+        )
+
+        l1 = self.frames_length - 1
+        buffer0 = jnp.broadcast_to(x_emb0, (b, l1, h, w, c)).astype(x_emb0.dtype)
+
+        decoder = self.generate_model
+        if self.use_cids:
+            pred0 = jnp.zeros((b, l1, h, w, self.codebook_size), x_emb0.dtype)
+        else:
+            pred0 = jnp.zeros((b, l1, h, w, self.dec_out_channels), x_emb0.dtype)
+
+        def body(i, carry):
+            buf, _ = carry
+            imgs_emb = self.stem(buf)
+            prediction = decoder(anchor, imgs_emb, train=False)
+            if self.use_cids:
+                frame_ids = jnp.argmax(
+                    jax.lax.dynamic_slice_in_dim(prediction, i, 1, axis=1), axis=-1
+                )  # (B, 1, h, w)
+                new_emb = self.embed_latents(frame_ids)
+            else:
+                frame = jax.lax.dynamic_slice_in_dim(prediction, i, 1, axis=1)
+                new_emb = self.embed_latents(frame)
+            # slot i+1 <- embedding of prediction i; the final iteration's
+            # write lands beyond the buffer and is dropped via clamp+mask
+            write_idx = jnp.minimum(i + 1, l1 - 1)
+            updated = jax.lax.dynamic_update_slice_in_dim(buf, new_emb, write_idx, 1)
+            buf = jnp.where(i + 1 <= l1 - 1, updated, buf)
+            return buf, prediction
+
+        _, prediction = jax.lax.fori_loop(0, l1, body, (buffer0, pred0))
+        if self.use_cids:
+            return jnp.argmax(prediction, axis=-1).astype(jnp.int32)
+        return prediction

@@ -1,0 +1,235 @@
+"""Two-stage TI2V pipeline: frozen first stage + MAGECore.
+
+The reference's ``MAGE`` module owns its first stage and freezes it inside
+the nn.Module (mage_model.py:466,516-521, requiring DDP's
+``find_unused_parameters=True``, main_mage.py:95). TPU-native composition:
+the first stage is a separate (model-def, variables) pair whose params
+never enter the optimizer — explicit state instead of monkeypatched
+freezing — and the train step fuses first-stage encode (under
+stop_gradient) with the stage-2 forward in one jitted program.
+
+Config schema parity: ``MagePipeline.from_config`` consumes the reference's
+nested YAML layout (first_stage_config / text_encoder_config / ma_config /
+generate_decoder_config: config/mage_caterv1.yaml:10-69).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mage_tpu.models.mage import MAGECore
+from mage_tpu.models.vqvae import VectorQuantizedVAE
+
+
+class FirstStageVQVAE:
+    """Frozen VQ-VAE wrapper: video-batched encode/decode
+    (reference first_stage_encode/decode, mage_model.py:530-567)."""
+
+    def __init__(self, model: VectorQuantizedVAE, variables: Mapping[str, Any]):
+        self.model = model
+        self.variables = dict(variables)
+        self.embed_dim = model.embed_dim
+        self.is_discrete = True
+
+    @classmethod
+    def from_config(cls, params: Mapping[str, Any], variables=None):
+        p = dict(params)
+        ckpt_path = p.pop("ckpt_path", None)
+        ignore_keys = p.pop("ignore_keys", ())
+        model = VectorQuantizedVAE(**p)
+        if variables is None:
+            if ckpt_path:
+                variables = load_first_stage_variables(ckpt_path)
+            else:
+                variables = model.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 16 * model.down_ratio, 16 * model.down_ratio,
+                               model.input_dim), jnp.float32),
+                    train=True,
+                )
+        return cls(model, variables)
+
+    def encode(self, videos: jax.Array, variables=None) -> jax.Array:
+        """(B, T, H, W, C) -> (B, T, h, w) int32 ids (no gradients).
+
+        ``variables`` lets jitted callers pass the frozen weights as traced
+        arguments instead of baking them into the executable as constants."""
+        variables = self.variables if variables is None else variables
+        b, t = videos.shape[:2]
+        flat = videos.reshape(b * t, *videos.shape[2:])
+        ids = self.model.apply(variables, flat, method="encode", mutable=False)
+        return jax.lax.stop_gradient(ids.reshape(b, t, *ids.shape[1:]))
+
+    def decode(self, latents: jax.Array, variables=None) -> jax.Array:
+        """(B, T, h, w) ids -> (B, T, H, W, C)."""
+        variables = self.variables if variables is None else variables
+        b, t = latents.shape[:2]
+        flat = latents.reshape(b * t, *latents.shape[2:])
+        frames = self.model.apply(variables, flat, method="decode", mutable=False)
+        return jax.lax.stop_gradient(frames.reshape(b, t, *frames.shape[1:]))
+
+
+def load_first_stage_variables(ckpt_path: str) -> dict:
+    """Load {params, batch_stats} from an orbax checkpoint written by the
+    stage-1 trainer (a VQVAETrainState tree or a bare variables dict)."""
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+    if "params" in restored:
+        return {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+        }
+    raise ValueError(f"unrecognized first-stage checkpoint layout at {ckpt_path}")
+
+
+class MagePipeline:
+    """First stage + MAGECore + loss/generation glue. The config target for
+    stage-2 models (parity with reference MAGE's constructor signature,
+    mage_model.py:446-463)."""
+
+    def __init__(
+        self,
+        first_stage_config: Mapping[str, Any],
+        text_encoder_config: Mapping[str, Any],
+        ma_config: Mapping[str, Any],
+        generate_decoder_config: Mapping[str, Any],
+        codebook_size: int,
+        frames_length: int,
+        image_resolution: int,
+        vision_width: int,
+        dropout: float = 0.1,
+        use_cids: bool = False,
+        randomness: bool = False,
+        alpha: float = 0.0,
+        beta: float = 1.0,
+        v_kl: float = 0.0,
+        auto_beta: bool = False,
+        first_stage_variables=None,
+    ):
+        self.use_cids = use_cids
+        self.randomness = randomness
+        self.alpha = alpha
+        self.beta = beta
+        self.v_kl = v_kl
+        self.auto_beta = auto_beta
+        self.frames_length = frames_length
+
+        fs_target = str(first_stage_config.get("target", ""))
+        fs_params = first_stage_config.get("params", {})
+        if "AutoencoderKL" in fs_target:
+            from mage_tpu.models.autoencoder_kl import FirstStageKL
+
+            self.first_stage = FirstStageKL.from_config(
+                fs_params, variables=first_stage_variables
+            )
+        else:
+            self.first_stage = FirstStageVQVAE.from_config(
+                fs_params, variables=first_stage_variables
+            )
+
+        te = dict(text_encoder_config.get("params", {}))
+        ma = dict(ma_config.get("params", {}))
+        dec = dict(generate_decoder_config.get("params", {}))
+        self.core = MAGECore(
+            codebook_size=codebook_size,
+            frames_length=frames_length,
+            image_resolution=image_resolution,
+            vision_width=vision_width,
+            embed_dim=getattr(self.first_stage, "embed_dim", 4),
+            dropout=dropout,
+            use_cids=use_cids,
+            randomness=randomness,
+            pre_ln=not use_cids,  # MAGE+ uses the pre-LN cross-attn variant
+            text_vocab_size=te.get("vocab_size", 30),
+            text_context_length=te.get("context_length", 32),
+            text_width=te.get("transformer_width", 512),
+            text_layers=te.get("transformer_layers", 2),
+            text_output_dim=te.get("output_dim", 512),
+            text_padding_idx=te.get("padding_idx", 0),
+            text_dropout=te.get("dropout", dropout),
+            ma_layers=ma.get("layers", 1),
+            ma_d_model=ma.get("d_model", 512),
+            dec_layers=dec.get("layers", 6),
+            dec_out_channels=dec.get("out_channels", codebook_size if use_cids else 4),
+        )
+
+    # ------------------------------------------------------------------
+
+    def encode_first_stage(
+        self, images: jax.Array, rng: Optional[jax.Array] = None, fs_variables=None
+    ):
+        """Videos -> latents; stochastic (DiagonalGaussian sample) for the
+        KL first stage (reference get_first_stage_encoding,
+        mage_model.py:542-549)."""
+        if getattr(self.first_stage, "is_discrete", True):
+            return self.first_stage.encode(images, variables=fs_variables)
+        return self.first_stage.encode(images, rng=rng, variables=fs_variables)
+
+    def init(self, rng: jax.Array, batch: Mapping[str, jax.Array]):
+        latents = self.encode_first_stage(
+            jnp.asarray(batch["images"]), jax.random.PRNGKey(0)
+        )
+        speed = batch.get("speed")
+        rngs = {"params": rng, "dropout": rng, "latent": rng}
+        return self.core.init(
+            rngs,
+            latents,
+            jnp.asarray(batch["text"]),
+            jnp.asarray(speed) if speed is not None else None,
+            train=True,
+        )["params"]
+
+    def loss_terms(
+        self,
+        params,
+        batch: Mapping[str, jax.Array],
+        rng: jax.Array,
+        train: bool = True,
+        test_flag: bool = False,
+        fs_variables=None,
+    ):
+        """-> dict of raw loss terms (jnp scalars) + predictions."""
+        enc_rng, drop_rng, lat_rng = jax.random.split(rng, 3)
+        latents = self.encode_first_stage(
+            jnp.asarray(batch["images"]), enc_rng, fs_variables
+        )
+        out = self.core.apply(
+            {"params": params},
+            latents,
+            batch["text"],
+            batch.get("speed"),
+            train=train,
+            test_flag=test_flag,
+            rngs={"dropout": drop_rng, "latent": lat_rng},
+        )
+        out.pop("predict")
+        return out
+
+    def generate(
+        self,
+        params,
+        batch: Mapping[str, jax.Array],
+        rng: jax.Array,
+        fs_variables=None,
+    ) -> jax.Array:
+        """batch (first frame + text [+ speed]) -> full video (B, L, H, W, C)
+        with the ground-truth first frame prepended
+        (reference :686-691)."""
+        enc_rng, lat_rng = jax.random.split(rng)
+        first = jnp.asarray(batch["images"])[:, 0:1]
+        latents0 = self.encode_first_stage(first, enc_rng, fs_variables)
+        gen_latents = self.core.apply(
+            {"params": params},
+            latents0,
+            batch["text"],
+            batch.get("speed"),
+            method="generate",
+            rngs={"latent": lat_rng},
+        )
+        video = self.first_stage.decode(gen_latents, variables=fs_variables)
+        return jnp.concatenate([first, video], axis=1)

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Stage-2 MAGE training / sampling CLI.
+
+Mirrors the reference's main_mage.py surface (reference:
+main_mage.py:29-56,276-297): ``--split train`` trains from a YAML config
+(saving a config snapshot next to the checkpoints, :64-67); ``--split
+test`` reloads the snapshot from the checkpoint directory and runs
+autoregressive sampling, writing GIFs (:201-257).
+
+DDP flags are replaced by the JAX single-controller model (see
+train_vqvae.py docstring).
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="config/mage_caterv1.yaml")
+    p.add_argument("--split", type=str, default="train", choices=["train", "test"])
+    p.add_argument("--checkpoint-path", type=str, default="./results/mage")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint name/path to resume training from")
+    p.add_argument("--n_samples", type=int, default=1,
+                   help="samples to produce per test instance")
+    p.add_argument("--test_model", type=str, default="",
+                   help="checkpoint dir (containing config.yaml) or name for sampling")
+    p.add_argument("--max-test-items", type=int, default=-1)
+    p.add_argument("--save-gifs", action="store_true", default=True)
+    p.add_argument("--multihost", action="store_true")
+    return p.parse_args(argv)
+
+
+def build(configs, split: str, seed: int):
+    from mage_tpu.config import instantiate_from_config
+
+    dataset = instantiate_from_config(configs.data, {"split": split, "seed": seed})
+    return dataset
+
+
+def train(opt):
+    import jax
+
+    from mage_tpu.config import instantiate_from_config, load_config, save_config
+    from mage_tpu.data.loader import Loader
+    from mage_tpu.training.mage_trainer import MageTrainer
+
+    configs = load_config(opt.config)
+    os.makedirs(opt.checkpoint_path, exist_ok=True)
+    save_config(configs, os.path.join(opt.checkpoint_path, "config.yaml"))
+
+    train_dataset = build(configs, "train", opt.seed)
+    test_dataset = build(configs, "test", opt.seed)
+    pipeline = instantiate_from_config(configs.model)
+
+    trainer = MageTrainer(
+        pipeline, configs.train, opt.checkpoint_path, seed=opt.seed
+    )
+    n_dev = trainer.mesh.devices.size
+    bs = int(configs.train.batchsize)
+    if bs % n_dev:
+        raise SystemExit(f"batchsize {bs} not divisible by {n_dev} devices")
+    train_loader = Loader(train_dataset, bs, shuffle=True, seed=opt.seed, drop_last=True)
+    test_loader = Loader(test_dataset, bs, shuffle=False, drop_last=True)
+
+    first = next(iter(train_loader))
+    trainer.init_state({k: v for k, v in first.items() if k != "video_id"})
+    if opt.resume:
+        trainer.resume(opt.resume)
+        print(f"=> resumed from '{opt.resume}' at iteration {trainer.iteration}")
+    trainer.fit(train_loader, test_loader)
+
+
+def sampling(opt):
+    import jax
+
+    from mage_tpu.config import instantiate_from_config, load_config
+    from mage_tpu.data.loader import Loader
+    from mage_tpu.training.checkpoint import Checkpointer
+    from mage_tpu.training.mage_trainer import MageTrainState, make_mage_tx
+    from mage_tpu.utils.media import save_gif
+
+    test_model = opt.test_model or os.path.join(opt.checkpoint_path, "model_best")
+    ckpt_dir = os.path.dirname(os.path.abspath(test_model))
+    configs = load_config(os.path.join(ckpt_dir, "config.yaml"))
+    test_dataset = build(configs, "test", opt.seed)
+    pipeline = instantiate_from_config(configs.model)
+
+    ckpt = Checkpointer(ckpt_dir)
+    restored = ckpt.restore(os.path.abspath(test_model))
+    params = restored["params"]
+    print(f"=> loaded checkpoint '{test_model}'")
+
+    loader = Loader(test_dataset, 1, shuffle=True, seed=opt.seed)
+
+    import jax.numpy as jnp
+
+    fs_vars = pipeline.first_stage.variables
+    gen = jax.jit(
+        lambda p, batch, rng: pipeline.generate(p, batch, rng, fs_variables=fs_vars)
+    )
+    rng = jax.random.PRNGKey(opt.seed)
+    out_dir = os.path.join(ckpt_dir, "videos")
+    for idx, batch in enumerate(loader):
+        if 0 <= opt.max_test_items <= idx:
+            break
+        video_id = batch.pop("video_id", [f"sample_{idx}"])[0]
+        batch = {k: jnp.asarray(np.asarray(v)) for k, v in batch.items()}
+        for s in range(opt.n_samples):
+            rng, step_rng = jax.random.split(rng)
+            video = np.asarray(gen(params, batch, step_rng))
+            video = np.clip(video, -1.0, 1.0)
+            if opt.save_gifs:
+                name = f"{os.path.splitext(video_id)[0]}-{float(batch['speed'][0]):.4f}"
+                if opt.n_samples > 1:
+                    name += f"-s{s}"
+                save_gif(video[0], os.path.join(out_dir, name + ".gif"), fps=3)
+        print(idx)
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    if opt.multihost:
+        import jax
+
+        jax.distributed.initialize()
+    if opt.split == "train":
+        train(opt)
+    else:
+        sampling(opt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""MAGECore tests: decoder shapes/causality, training forward losses, and
+the fused-fori_loop generation's exact equivalence with a naive Python
+re-implementation of the reference's buffer-overwrite AR loop
+(mage_model.py:670-684)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mage_tpu.models.mage import MAGECore, FlatAxialDecoder, causal_temporal_bias
+
+L, R, W_VIS, K = 5, 4, 64, 32  # frames, latent res, width, codebook
+
+
+def _core(use_cids=True, randomness=False):
+    return MAGECore(
+        codebook_size=K,
+        frames_length=L,
+        image_resolution=R,
+        vision_width=W_VIS,
+        embed_dim=4,
+        dropout=0.1,
+        use_cids=use_cids,
+        randomness=randomness,
+        text_vocab_size=30,
+        text_context_length=12,
+        text_width=W_VIS,
+        text_layers=1,
+        text_output_dim=W_VIS,
+        ma_layers=1,
+        ma_d_model=W_VIS,
+        dec_layers=3,
+        dec_out_channels=K if use_cids else 4,
+    )
+
+
+def _batch(use_cids=True, b=2, seed=0):
+    rng = np.random.RandomState(seed)
+    if use_cids:
+        latents = rng.randint(0, K, size=(b, L, R, R)).astype(np.int32)
+    else:
+        latents = rng.randn(b, L, R, R, 4).astype(np.float32)
+    text = np.zeros((b, 12), np.int32)
+    text[:, 0] = 1
+    text[:, 1:4] = rng.randint(3, 29, size=(b, 3))
+    text[:, 4] = 2
+    speed = rng.rand(b).astype(np.float32)
+    return jnp.asarray(latents), jnp.asarray(text), jnp.asarray(speed)
+
+
+def _init(core, latents, text, speed):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "latent": jax.random.PRNGKey(2)}
+    return core.init(rngs, latents, text, speed, train=False)
+
+
+def test_decoder_shapes_and_zero_init_head():
+    rng = jax.random.PRNGKey(0)
+    dec = FlatAxialDecoder(
+        in_channels=W_VIS, model_channels=W_VIS, out_channels=4,
+        frames_length=L, layers=3, use_cids=False, dropout=0.0,
+    )
+    motion = jax.random.normal(rng, (2, R, R, W_VIS))
+    imgs = jax.random.normal(rng, (2, L - 1, R, R, W_VIS))
+    params = dec.init(rng, motion, imgs, train=False)
+    out = dec.apply(params, motion, imgs, train=False)
+    assert out.shape == (2, L - 1, R, R, 4)
+    # zero-init conv head -> exactly zero output at init (reference :350-354)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_decoder_temporal_causality():
+    """Prediction for frame i must not depend on input frames > i."""
+    rng = jax.random.PRNGKey(0)
+    dec = FlatAxialDecoder(
+        in_channels=W_VIS, model_channels=W_VIS, out_channels=K,
+        frames_length=L, layers=3, use_cids=True, dropout=0.0,
+    )
+    motion = jax.random.normal(rng, (1, R, R, W_VIS))
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (1, L - 1, R, R, W_VIS))
+    params = dec.init(rng, motion, imgs, train=False)
+    out1 = dec.apply(params, motion, imgs, train=False)
+    imgs2 = imgs.at[:, 2].add(7.0)  # perturb input slot 2 (frame index 2)
+    out2 = dec.apply(params, motion, imgs2, train=False)
+    delta = np.abs(np.asarray(out2 - out1)).sum(axis=(2, 3, 4))[0]  # per out frame
+    # out slot j predicts frame j+1 from inputs <= j; slots 0,1 see only
+    # input slots 0..1 -> unaffected; slots >= 2 see slot 2
+    assert delta[0] < 1e-4 and delta[1] < 1e-4
+    assert delta[2] > 1e-3
+
+
+@pytest.mark.parametrize("use_cids", [True, False])
+def test_training_forward_losses(use_cids):
+    core = _core(use_cids=use_cids, randomness=True)
+    latents, text, speed = _batch(use_cids)
+    variables = _init(core, latents, text, speed)
+    out = core.apply(
+        variables, latents, text, speed, train=True,
+        rngs={"dropout": jax.random.PRNGKey(3), "latent": jax.random.PRNGKey(4)},
+    )
+    assert np.isfinite(float(out["prediction"]))
+    assert np.isfinite(float(out["kl_loss"]))
+    assert np.isfinite(float(out["speed_l2"]))
+    if use_cids:
+        assert out["predict"].shape == (2, L - 1, R, R, K)
+        # CE at init should be ~log(K)
+        assert abs(float(out["prediction"]) - np.log(K)) < 1.0
+    else:
+        assert out["predict"].shape == (2, L - 1, R, R, 4)
+
+
+def test_gradients_reach_all_submodules():
+    core = _core(use_cids=True, randomness=True)
+    latents, text, speed = _batch(True)
+    variables = _init(core, latents, text, speed)
+
+    def loss(params):
+        out = core.apply(
+            {"params": params}, latents, text, speed, train=True,
+            rngs={"dropout": jax.random.PRNGKey(3), "latent": jax.random.PRNGKey(4)},
+        )
+        return out["prediction"] + 0.1 * out["kl_loss"] + 0.01 * out["speed_l2"]
+
+    grads = jax.grad(loss)(variables["params"])
+    flat = {jax.tree_util.keystr(k): float(jnp.abs(v).sum())
+            for k, v in jax.tree_util.tree_leaves_with_path(grads)}
+    for needle in ["text_encoder", "ma_encoder", "generate_model",
+                   "visual_token_embedding", "speed_embedding", "conv_mu2", "adain"]:
+        assert any(needle in k and v > 0 for k, v in flat.items()), needle
+
+
+def _naive_generate(core, variables, latents0, text, speed, video_noise, use_cids):
+    """Python-loop reimplementation of the reference AR loop (:670-684)."""
+    m = core.bind(variables, rngs={"latent": jax.random.PRNGKey(9)})
+    x_emb0 = m.embed_latents(latents0)
+    b, _, h, w, c = x_emb0.shape
+    first_tokens = m.stem(x_emb0)[:, 0].reshape(b, -1, c)
+    text_emb = m.text_encoder(text, train=False)
+    anchor = m.compute_motion_anchor(first_tokens, text_emb, video_noise, speed,
+                                     train=False)
+    buf = jnp.broadcast_to(x_emb0, (b, core.frames_length - 1, h, w, c))
+    prediction = None
+    for i in range(core.frames_length - 1):
+        imgs_emb = m.stem(buf)
+        prediction = m.generate_model(anchor, imgs_emb, train=False)
+        if i != core.frames_length - 2:
+            if use_cids:
+                ids = jnp.argmax(prediction[:, i : i + 1], axis=-1)
+                buf = buf.at[:, i + 1].set(m.embed_latents(ids)[:, 0])
+            else:
+                frame = prediction[:, i : i + 1]
+                buf = buf.at[:, i + 1].set(m.embed_latents(frame)[:, 0])
+    if use_cids:
+        return jnp.argmax(prediction, axis=-1)
+    return prediction
+
+
+@pytest.mark.parametrize("use_cids", [True, False])
+def test_generate_matches_naive_reference_loop(use_cids):
+    core = _core(use_cids=use_cids, randomness=True)
+    latents, text, speed = _batch(use_cids)
+    variables = _init(core, latents, text, speed)
+    latents0 = latents[:, 0:1]
+    noise = jax.random.normal(jax.random.PRNGKey(7), (2, R, R, 64))
+
+    fused = core.apply(
+        variables, latents0, text, speed, video_noise=noise, method="generate",
+        rngs={"latent": jax.random.PRNGKey(8)},
+    )
+    naive = _naive_generate(core, variables, latents0, text, speed, noise, use_cids)
+    if use_cids:
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(naive))
+        assert fused.shape == (2, L - 1, R, R)
+    else:
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(naive), rtol=1e-4, atol=1e-5
+        )

@@ -1,0 +1,200 @@
+"""Integration: config-driven MagePipeline + MageTrainer on tiny shapes —
+loss decreases, checkpoints round-trip, PID auto-beta engages, generation
+produces videos with the ground-truth first frame prepended."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mage_tpu.config import loads_config, instantiate_from_config
+from mage_tpu.training.pid import PIDControl
+
+TINY_CFG = """
+train:
+  epoch: 2
+  batchsize: 8
+  lr: 1e-3
+  cos: true
+  checkpoint_every: 4
+model:
+  target: mage_tpu.models.pipeline.MagePipeline
+  params:
+    codebook_size: 32
+    frames_length: 5
+    image_resolution: 8
+    vision_width: 64
+    dropout: 0.1
+    use_cids: true
+    randomness: {randomness}
+    alpha: 0.001
+    beta: 0.00025
+    auto_beta: {auto_beta}
+    v_kl: 10
+    first_stage_config:
+      target: mage_tpu.models.vqvae.VectorQuantizedVAE
+      params:
+        input_dim: 1
+        dim: 16
+        down_ratio: 4
+        K: 32
+    text_encoder_config:
+      target: mage_tpu.models.layers.TransformerTextEncoder
+      params:
+        vocab_size: 30
+        context_length: 12
+        transformer_width: 64
+        transformer_layers: 1
+        output_dim: 64
+        padding_idx: 0
+        dropout: 0.1
+    ma_config:
+      target: mage_tpu.models.layers.MAEncoder
+      params:
+        layers: 1
+        d_model: 64
+    generate_decoder_config:
+      target: mage_tpu.models.mage.FlatAxialDecoder
+      params:
+        in_channels: 64
+        out_channels: 32
+        model_channels: 64
+        frames_length: 5
+        layers: 3
+"""
+
+
+class _ToyVideoDataset:
+    """Deterministic moving-square videos + templated captions."""
+
+    def __init__(self, n=32, frames=5, size=32):
+        self.n, self.frames, self.size = n, frames, size
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(idx)
+        video = np.zeros((self.frames, self.size, self.size, 1), np.float32)
+        y = rng.randint(2, self.size - 10)
+        for t in range(self.frames):
+            x = 2 + (idx % 2) * 2 * t + 2 * t
+            video[t, y : y + 8, x % (self.size - 8) : x % (self.size - 8) + 8] = 1.0
+        video -= 0.5
+        text = np.zeros((12,), np.int32)
+        text[0], text[1], text[2] = 1, 13, 2
+        return {
+            "images": video,
+            "text": text,
+            "speed": np.float32(rng.rand()),
+        }
+
+
+def _make_pipeline(randomness=True, auto_beta=False):
+    cfg = loads_config(
+        TINY_CFG.format(randomness=str(randomness).lower(),
+                        auto_beta=str(auto_beta).lower())
+    )
+    return instantiate_from_config(cfg.model), cfg
+
+
+def test_pipeline_instantiates_from_reference_schema():
+    pipeline, _ = _make_pipeline()
+    assert pipeline.core.frames_length == 5
+    assert pipeline.first_stage.model.down_ratio == 4
+
+
+def test_trainer_loss_decreases_and_checkpoints(tmp_path, mesh8):
+    from mage_tpu.data.loader import Loader
+    from mage_tpu.training.mage_trainer import MageTrainer
+
+    pipeline, cfg = _make_pipeline(randomness=True, auto_beta=False)
+    trainer = MageTrainer(pipeline, cfg.train, str(tmp_path / "ckpt"), mesh=mesh8)
+    ds = _ToyVideoDataset(n=32, frames=5, size=32)
+    train_loader = Loader(ds, 8, shuffle=True, drop_last=True)
+    test_loader = Loader(ds, 8, shuffle=False, drop_last=True)
+
+    first = next(iter(train_loader))
+    trainer.init_state(first)
+
+    # manual short loop to capture losses
+    import jax as _jax
+
+    losses = []
+    for i in range(8):
+        state, terms = trainer.train_step(
+            trainer.state, trainer.fs_vars, trainer._prep(first), 1e-3,
+            trainer.beta, pipeline.alpha, _jax.random.PRNGKey(i),
+        )
+        trainer.state = state
+        losses.append(float(terms["final_loss"]))
+    assert losses[-1] < losses[0], losses
+
+    val = trainer.validate_and_checkpoint(test_loader, epoch=0)
+    assert np.isfinite(val)
+    assert trainer.ckpt.exists("model_best")
+    assert trainer.ckpt.exists(f"iteration_{trainer.iteration}")
+
+    # resume round-trip restores step/params
+    step_before = int(trainer.state.step)
+    trainer.resume("model_best")
+    assert int(trainer.state.step) == step_before
+
+
+def test_auto_beta_pid_engages(tmp_path, mesh8):
+    from mage_tpu.data.loader import Loader
+    from mage_tpu.training.mage_trainer import MageTrainer
+
+    pipeline, cfg = _make_pipeline(randomness=True, auto_beta=True)
+    trainer = MageTrainer(pipeline, cfg.train, str(tmp_path / "ckpt"), mesh=mesh8)
+    ds = _ToyVideoDataset(n=16)
+    loader = Loader(ds, 8, shuffle=False, drop_last=True)
+    first = next(iter(loader))
+    trainer.init_state(first)
+    assert trainer.beta == 0.0  # PID starts at 0
+    import jax as _jax
+
+    state, terms = trainer.train_step(
+        trainer.state, trainer.fs_vars, trainer._prep(first), 1e-3,
+        trainer.beta, pipeline.alpha, _jax.random.PRNGKey(0),
+    )
+    kl = float(terms["kl_loss"])
+    beta, _ = PIDControl().pid(pipeline.v_kl, kl)
+    assert 0.0 <= beta <= 1.0
+
+
+def test_pid_reference_semantics():
+    pid = PIDControl()
+    # far-above-target KL -> negative error -> P ~ Kp, I grows positive
+    b1, e1 = pid.pid(10.0, 100.0)
+    assert e1 == -90.0 and 0.0 <= b1 <= 1.0
+    # repeated large KL keeps increasing beta via the integral term
+    b2, _ = pid.pid(10.0, 100.0)
+    assert b2 >= b1
+    # KL far below target -> beta clamps to 0
+    pid2 = PIDControl()
+    b3, _ = pid2.pid(100.0, 0.0)
+    assert b3 == 0.0
+
+
+def test_generation_end_to_end(tmp_path, mesh8):
+    from mage_tpu.training.mage_trainer import MageTrainer
+    from mage_tpu.data.loader import Loader
+
+    pipeline, cfg = _make_pipeline(randomness=True)
+    trainer = MageTrainer(pipeline, cfg.train, str(tmp_path / "c"), mesh=mesh8)
+    ds = _ToyVideoDataset(n=8)
+    loader = Loader(ds, 8, shuffle=False)
+    batch = next(iter(loader))
+    trainer.init_state(batch)
+
+    video = pipeline.generate(
+        jax.device_get(trainer.state.params),
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        jax.random.PRNGKey(0),
+    )
+    assert video.shape == (8, 5, 32, 32, 1)
+    # ground-truth first frame prepended exactly (reference :691)
+    np.testing.assert_allclose(
+        np.asarray(video[:, 0]), batch["images"][:, 0], atol=1e-6
+    )
