@@ -66,6 +66,46 @@ class Loader:
             yield self.collate_fn([self.dataset[int(i)] for i in chunk])
 
 
+class PrefetchLoader:
+    """Background-thread prefetching around a Loader: overlaps host-side
+    decode/collate with device compute (device steps release the GIL).
+    Single-threaded equivalent of the reference's ``num_workers=4``
+    DataLoader (main_mage.py:114-119) sized for 1-vCPU TPU VM hosts."""
+
+    def __init__(self, loader: "Loader", depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def set_epoch(self, epoch: int) -> None:
+        self.loader.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
 def default_collate(items: list) -> Any:
     first = items[0]
     if isinstance(first, dict):

@@ -175,3 +175,113 @@ class Normalize:
 
     def __call__(self, clip):
         return (np.asarray(clip, np.float32) - self.mean) / self.std
+
+
+class RandomRotation:
+    """Rotate the whole clip by one random angle in (-degrees, degrees)
+    (reference videotransforms.py:425-464)."""
+
+    _stochastic = True
+
+    def __init__(self, degrees: float = 10.0):
+        self.degrees = degrees
+
+    def __call__(self, clip, rng=random):
+        angle = rng.uniform(-self.degrees, self.degrees)
+        clip = _as_thwc(clip)
+        if cv2 is not None:
+            t, h, w, c = clip.shape
+            m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+            out = np.stack([
+                cv2.warpAffine(f, m, (w, h)).reshape(h, w, -1) for f in clip
+            ])
+            return out
+        from PIL import Image
+
+        frames = []
+        for f in clip:
+            img = Image.fromarray(f.squeeze(-1) if f.shape[-1] == 1 else f)
+            arr = np.asarray(img.rotate(angle))
+            frames.append(arr if arr.ndim == 3 else arr[..., None])
+        return np.stack(frames)
+
+
+class ColorJitter:
+    """Brightness/contrast/saturation jitter with one draw per clip
+    (reference videotransforms.py:511-591)."""
+
+    _stochastic = True
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+
+    def _factor(self, rng, amount):
+        return rng.uniform(max(0.0, 1.0 - amount), 1.0 + amount) if amount else 1.0
+
+    def __call__(self, clip, rng=random):
+        clip = _as_thwc(clip).astype(np.float32)
+        scale = 255.0 if clip.max() > 1.5 else 1.0
+        b = self._factor(rng, self.brightness)
+        c = self._factor(rng, self.contrast)
+        s = self._factor(rng, self.saturation)
+        clip = clip * b
+        mean = clip.mean(axis=(1, 2, 3), keepdims=True)
+        clip = (clip - mean) * c + mean
+        if clip.shape[-1] == 3 and s != 1.0:
+            gray = clip.mean(axis=-1, keepdims=True)
+            clip = (clip - gray) * s + gray
+        return np.clip(clip, 0, scale).astype(np.float32 if scale == 1.0 else np.uint8)
+
+
+class RandomGrayscale:
+    """(reference videotransforms.py:208-237)."""
+
+    _stochastic = True
+
+    def __init__(self, p: float = 0.1):
+        self.p = p
+
+    def __call__(self, clip, rng=random):
+        clip = _as_thwc(clip)
+        if clip.shape[-1] == 3 and rng.random() < self.p:
+            weights = np.asarray([0.299, 0.587, 0.114], np.float32)
+            gray = (clip.astype(np.float32) @ weights)[..., None]
+            clip = np.repeat(gray, 3, axis=-1).astype(clip.dtype)
+        return clip
+
+
+class GaussianBlur:
+    """(reference videotransforms.py:694-707)."""
+
+    _stochastic = True
+
+    def __init__(self, sigma_range=(0.1, 2.0), kernel_size: int = 5):
+        self.sigma_range = sigma_range
+        self.kernel_size = kernel_size
+
+    def __call__(self, clip, rng=random):
+        clip = _as_thwc(clip)
+        sigma = rng.uniform(*self.sigma_range)
+        if cv2 is not None:
+            k = self.kernel_size | 1
+            out = np.stack([
+                cv2.GaussianBlur(f, (k, k), sigma).reshape(f.shape[0], f.shape[1], -1)
+                for f in clip
+            ])
+            return out.astype(clip.dtype)
+        from scipy.ndimage import gaussian_filter
+
+        return gaussian_filter(clip, sigma=(0, sigma, sigma, 0)).astype(clip.dtype)
+
+
+class ColorInversion:
+    """Invert intensities (reference ColorConversion,
+    videotransforms.py:710-719)."""
+
+    def __call__(self, clip):
+        clip = _as_thwc(clip)
+        if clip.dtype == np.uint8:
+            return 255 - clip
+        return 1.0 - clip

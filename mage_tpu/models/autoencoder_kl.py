@@ -1,0 +1,265 @@
+"""KL-regularized autoencoder — the MAGE+ first stage.
+
+The reference imports this from the external ``ldm`` package
+(reference: modules/mage_model.py:437, requirements.txt:22, configured at
+config/mage+_caterv2.yaml:24-45: ch=128, ch_mult=[1,2,4,4], 2 res blocks,
+z_channels=4, double_z, no attention resolutions). Reimplemented here
+TPU-native (NHWC, flax) since no torch dependency is allowed: ResNet
+encoder/decoder with GroupNorm+SiLU, optional mid/level attention,
+``DiagonalGaussian`` posterior with sample/mode/kl — stage-2 training
+draws a fresh *sample* each step (mage_model.py:542-549), so encode takes
+an rng.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class DiagonalGaussian:
+    """Posterior N(mean, diag(exp(logvar))) over NHWC latents."""
+
+    def __init__(self, moments: jax.Array):
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        self.mean = mean
+        self.logvar = jnp.clip(logvar, -30.0, 20.0)
+        self.std = jnp.exp(0.5 * self.logvar)
+
+    def sample(self, rng: jax.Array) -> jax.Array:
+        return self.mean + self.std * jax.random.normal(rng, self.mean.shape)
+
+    def mode(self) -> jax.Array:
+        return self.mean
+
+    def kl(self) -> jax.Array:
+        """KL(q || N(0, I)) summed over latent dims, per batch element."""
+        return 0.5 * jnp.sum(
+            self.mean**2 + jnp.exp(self.logvar) - 1.0 - self.logvar,
+            axis=tuple(range(1, self.mean.ndim)),
+        )
+
+
+class ResnetBlock(nn.Module):
+    out_ch: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv1")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv2")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head spatial self-attention (ldm-style) as one batched
+    dot-product over the HW grid — MXU-friendly."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hn = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        q = nn.Conv(c, (1, 1), name="q")(hn).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), name="k")(hn).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), name="v")(hn).reshape(b, h * w, c)
+        attn = jax.nn.softmax(jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(c), axis=-1)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        return x + nn.Conv(c, (1, 1), name="proj_out")(out)
+
+
+class _Down(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            x.shape[-1], (3, 3), strides=2, padding=((0, 1), (0, 1)), name="conv"
+        )(x)
+
+
+class _Up(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+        ).reshape(b, 2 * h, 2 * w, c)
+        return nn.Conv(c, (3, 3), padding=1, name="conv")(x)
+
+
+class Encoder(nn.Module):
+    ch: int
+    ch_mult: Sequence[int]
+    num_res_blocks: int
+    z_channels: int
+    double_z: bool = True
+    attn_resolutions: Sequence[int] = ()
+    resolution: int = 128
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.ch, (3, 3), padding=1, name="conv_in")(x)
+        res = self.resolution
+        for i, mult in enumerate(self.ch_mult):
+            for j in range(self.num_res_blocks):
+                h = ResnetBlock(self.ch * mult, self.dropout, name=f"down_{i}_block_{j}")(h, train)
+                if res in self.attn_resolutions:
+                    h = AttnBlock(name=f"down_{i}_attn_{j}")(h)
+            if i != len(self.ch_mult) - 1:
+                h = _Down(name=f"down_{i}_downsample")(h)
+                res //= 2
+        h = ResnetBlock(h.shape[-1], self.dropout, name="mid_block_1")(h, train)
+        h = AttnBlock(name="mid_attn")(h)
+        h = ResnetBlock(h.shape[-1], self.dropout, name="mid_block_2")(h, train)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
+        h = nn.silu(h)
+        out_ch = 2 * self.z_channels if self.double_z else self.z_channels
+        return nn.Conv(out_ch, (3, 3), padding=1, name="conv_out")(h)
+
+
+class Decoder(nn.Module):
+    ch: int
+    ch_mult: Sequence[int]
+    num_res_blocks: int
+    out_ch: int
+    attn_resolutions: Sequence[int] = ()
+    resolution: int = 128
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        h = nn.Conv(self.ch * self.ch_mult[-1], (3, 3), padding=1, name="conv_in")(z)
+        h = ResnetBlock(h.shape[-1], self.dropout, name="mid_block_1")(h, train)
+        h = AttnBlock(name="mid_attn")(h)
+        h = ResnetBlock(h.shape[-1], self.dropout, name="mid_block_2")(h, train)
+        res = self.resolution // (2 ** (len(self.ch_mult) - 1))
+        for i, mult in reversed(list(enumerate(self.ch_mult))):
+            for j in range(self.num_res_blocks + 1):
+                h = ResnetBlock(self.ch * mult, self.dropout, name=f"up_{i}_block_{j}")(h, train)
+                if res in self.attn_resolutions:
+                    h = AttnBlock(name=f"up_{i}_attn_{j}")(h)
+            if i != 0:
+                h = _Up(name=f"up_{i}_upsample")(h)
+                res *= 2
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(self.out_ch, (3, 3), padding=1, name="conv_out")(h)
+
+
+class AutoencoderKL(nn.Module):
+    """ldm-equivalent KL autoencoder (parameters mirror the reference's
+    ddconfig, config/mage+_caterv2.yaml:28-44)."""
+
+    embed_dim: int = 4
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    in_channels: int = 3
+    out_ch: int = 3
+    z_channels: int = 4
+    double_z: bool = True
+    attn_resolutions: Sequence[int] = ()
+    resolution: int = 128
+    dropout: float = 0.0
+
+    def setup(self):
+        self.encoder = Encoder(
+            ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
+            z_channels=self.z_channels, double_z=self.double_z,
+            attn_resolutions=self.attn_resolutions, resolution=self.resolution,
+            dropout=self.dropout,
+        )
+        self.decoder = Decoder(
+            ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
+            out_ch=self.out_ch, attn_resolutions=self.attn_resolutions,
+            resolution=self.resolution, dropout=self.dropout,
+        )
+        zc = 2 * self.z_channels if self.double_z else self.z_channels
+        self.quant_conv = nn.Conv(zc, (1, 1))
+        self.post_quant_conv = nn.Conv(self.z_channels, (1, 1))
+
+    def encode_moments(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return self.quant_conv(self.encoder(x, train))
+
+    def decode(self, z: jax.Array, train: bool = False) -> jax.Array:
+        return self.decoder(self.post_quant_conv(z), train)
+
+    def __call__(self, x: jax.Array, rng: jax.Array, train: bool = False):
+        posterior = DiagonalGaussian(self.encode_moments(x, train))
+        z = posterior.sample(rng)
+        return self.decode(z, train), posterior
+
+
+class FirstStageKL:
+    """Frozen KL-autoencoder first stage (continuous latents)."""
+
+    def __init__(self, model: AutoencoderKL, variables: Mapping[str, Any]):
+        self.model = model
+        self.variables = dict(variables)
+        self.embed_dim = model.embed_dim
+        self.is_discrete = False
+
+    @classmethod
+    def from_config(cls, params: Mapping[str, Any], variables=None):
+        p = dict(params)
+        p.pop("monitor", None)
+        p.pop("lossconfig", None)
+        ckpt_path = p.pop("ckpt_path", None)
+        ignore_keys = p.pop("ignore_keys", ())
+        dd = dict(p.pop("ddconfig", {}))
+        embed_dim = p.pop("embed_dim", dd.get("z_channels", 4))
+        model = AutoencoderKL(
+            embed_dim=embed_dim,
+            ch=dd.get("ch", 128),
+            ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+            num_res_blocks=dd.get("num_res_blocks", 2),
+            in_channels=dd.get("in_channels", 3),
+            out_ch=dd.get("out_ch", 3),
+            z_channels=dd.get("z_channels", 4),
+            double_z=dd.get("double_z", True),
+            attn_resolutions=tuple(dd.get("attn_resolutions", ())),
+            resolution=dd.get("resolution", 128),
+            dropout=dd.get("dropout", 0.0),
+        )
+        if variables is None:
+            if ckpt_path:
+                from mage_tpu.models.pipeline import load_first_stage_variables
+
+                variables = load_first_stage_variables(ckpt_path, ignore_keys)
+            else:
+                variables = model.init(
+                    {"params": jax.random.PRNGKey(0)},
+                    jnp.zeros(
+                        (1, model.resolution, model.resolution, model.in_channels),
+                        jnp.float32,
+                    ),
+                    jax.random.PRNGKey(0),
+                )
+        return cls(model, variables)
+
+    def encode(self, videos: jax.Array, rng: jax.Array, variables=None) -> jax.Array:
+        """(B, T, H, W, C) -> sampled latents (B, T, h, w, z) — stochastic
+        per step (reference mage_model.py:542-549)."""
+        variables = self.variables if variables is None else variables
+        b, t = videos.shape[:2]
+        flat = videos.reshape(b * t, *videos.shape[2:])
+        moments = self.model.apply(variables, flat, method="encode_moments")
+        z = DiagonalGaussian(moments).sample(rng)
+        return jax.lax.stop_gradient(z.reshape(b, t, *z.shape[1:]))
+
+    def decode(self, latents: jax.Array, variables=None) -> jax.Array:
+        variables = self.variables if variables is None else variables
+        b, t = latents.shape[:2]
+        flat = latents.reshape(b * t, *latents.shape[2:])
+        frames = self.model.apply(variables, flat, method="decode")
+        return jax.lax.stop_gradient(frames.reshape(b, t, *frames.shape[1:]))

@@ -36,6 +36,9 @@ class MultiHeadAttention(nn.Module):
     Equivalent surface to torch nn.MultiheadAttention as the reference uses
     it (attn_mask additive float mask: mage_model.py:31-33;
     key_padding_mask: :87-89) — fused per-head einsums for XLA.
+
+    setup-style so the cached autoregressive decode path can reuse the same
+    projections incrementally (``project_kv`` + ``attend``).
     """
 
     d_model: int
@@ -44,24 +47,29 @@ class MultiHeadAttention(nn.Module):
     kernel_init: Callable = nn.initializers.normal(0.02)
     out_init: Optional[Callable] = None
 
-    @nn.compact
-    def __call__(
+    def setup(self):
+        h, hd = self.n_head, self.d_model // self.n_head
+        self.q_proj = nn.DenseGeneral((h, hd), axis=-1, kernel_init=self.kernel_init)
+        self.k_proj = nn.DenseGeneral((h, hd), axis=-1, kernel_init=self.kernel_init)
+        self.v_proj = nn.DenseGeneral((h, hd), axis=-1, kernel_init=self.kernel_init)
+        self.out_proj = nn.DenseGeneral(
+            self.d_model, axis=(-2, -1), kernel_init=self.out_init or self.kernel_init
+        )
+        self.weight_dropout = nn.Dropout(self.attn_dropout)
+
+    def project_kv(self, x: jax.Array):
+        return self.k_proj(x), self.v_proj(x)
+
+    def attend(
         self,
-        q: jax.Array,
-        k: jax.Array,
-        v: jax.Array,
+        qh: jax.Array,
+        kh: jax.Array,
+        vh: jax.Array,
         bias: Optional[jax.Array] = None,
         key_padding_mask: Optional[jax.Array] = None,
         train: bool = True,
     ) -> jax.Array:
-        d, h = self.d_model, self.n_head
-        hd = d // h
-        dense = lambda name, init: nn.DenseGeneral(
-            (h, hd), axis=-1, kernel_init=init, name=name
-        )
-        qh = dense("q_proj", self.kernel_init)(q)
-        kh = dense("k_proj", self.kernel_init)(k)
-        vh = dense("v_proj", self.kernel_init)(v)
+        hd = self.d_model // self.n_head
         scores = jnp.einsum("...qhd,...khd->...hqk", qh, kh) / jnp.sqrt(
             jnp.asarray(hd, qh.dtype)
         )
@@ -74,14 +82,27 @@ class MultiHeadAttention(nn.Module):
             ).astype(scores.dtype)
         weights = jax.nn.softmax(scores, axis=-1)
         if self.attn_dropout > 0.0:
-            weights = nn.Dropout(self.attn_dropout, deterministic=not train)(weights)
+            weights = self.weight_dropout(weights, deterministic=not train)
         out = jnp.einsum("...hqk,...khd->...qhd", weights, vh)
-        return nn.DenseGeneral(
-            d,
-            axis=(-2, -1),
-            kernel_init=self.out_init or self.kernel_init,
-            name="out_proj",
-        )(out)
+        return self.out_proj(out)
+
+    def __call__(
+        self,
+        q: jax.Array,
+        k: jax.Array,
+        v: jax.Array,
+        bias: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,
+        train: bool = True,
+    ) -> jax.Array:
+        return self.attend(
+            self.q_proj(q),
+            self.k_proj(k),
+            self.v_proj(v),
+            bias=bias,
+            key_padding_mask=key_padding_mask,
+            train=train,
+        )
 
 
 class MLP(nn.Module):
@@ -114,7 +135,16 @@ class AxialAttentionBlock(nn.Module):
     proj_init: Callable = nn.initializers.normal(0.02)
     fc_init: Callable = nn.initializers.normal(0.02)
 
-    @nn.compact
+    def setup(self):
+        self.attn = MultiHeadAttention(
+            self.d_model, self.n_head,
+            kernel_init=self.attn_init, out_init=self.proj_init,
+        )
+        self.ln_1 = nn.LayerNorm()
+        self.ln_2 = nn.LayerNorm()
+        self.mlp = MLP(self.d_model, fc_init=self.fc_init, proj_init=self.proj_init)
+        self.resid_dropout = nn.Dropout(self.dropout)
+
     def __call__(
         self,
         x: jax.Array,
@@ -127,22 +157,41 @@ class AxialAttentionBlock(nn.Module):
         shape = moved.shape
         seq = moved.reshape(-1, shape[-2], shape[-1])
 
-        attn = MultiHeadAttention(
-            self.d_model,
-            self.n_head,
-            kernel_init=self.attn_init,
-            out_init=self.proj_init,
-            name="attn",
-        )
-        drop = nn.Dropout(self.dropout, deterministic=not train)
-        h = nn.LayerNorm(name="ln_1")(seq)
-        seq = seq + drop(attn(h, h, h, bias=attn_bias, train=train))
-        h = nn.LayerNorm(name="ln_2")(seq)
-        seq = seq + drop(
-            MLP(self.d_model, fc_init=self.fc_init, proj_init=self.proj_init, name="mlp")(h)
-        )
+        drop = lambda y: self.resid_dropout(y, deterministic=not train)
+        h = self.ln_1(seq)
+        seq = seq + drop(self.attn(h, h, h, bias=attn_bias, train=train))
+        seq = seq + drop(self.mlp(self.ln_2(seq)))
 
         return jnp.moveaxis(seq.reshape(shape), -2, axis)
+
+    def incremental_temporal(
+        self,
+        x_slot: jax.Array,  # (B, H, W, C) — the single new temporal slot
+        cache_k: jax.Array,  # (B*H*W, L, heads, hd)
+        cache_v: jax.Array,
+        pos: jax.Array,  # scalar index of this slot
+    ):
+        """Exact single-slot step of a causal temporal layer (axial_dim=1):
+        write this slot's K/V at ``pos``, attend the slot's queries over
+        cache positions <= pos. Returns (y_slot, cache_k, cache_v)."""
+        b, hgt, wdt, c = x_slot.shape
+        seq = x_slot.reshape(b * hgt * wdt, 1, c)
+        h = self.ln_1(seq)
+        qh = self.attn.q_proj(h)
+        kh, vh = self.attn.project_kv(h)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, kh, pos, axis=1)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, vh, pos, axis=1)
+        length = cache_k.shape[1]
+        # causal: only positions <= pos are valid keys
+        bias = jnp.where(jnp.arange(length)[None, :] <= pos, 0.0, NEG_INF)
+        attn_out = self.attn.attend(qh, cache_k, cache_v, bias=bias, train=False)
+        seq = seq + attn_out
+        seq = seq + self.mlp(self.ln_2(seq))
+        return seq.reshape(b, hgt, wdt, c), cache_k, cache_v
+
+    def single_slot_spatial(self, x_slot: jax.Array, train: bool = False):
+        """Run this H- or W-axis block on one temporal slot (B, H, W, C)."""
+        return self(x_slot[:, None], attn_bias=None, train=train)[:, 0]
 
     def flops(self, token_num: int, axis_len: int) -> int:
         d = self.d_model

@@ -58,28 +58,21 @@ class FlatAxialDecoder(nn.Module):
     use_cids: bool = True
     dropout: float = 0.1
 
-    @nn.compact
-    def __call__(self, motion: jax.Array, imgs: jax.Array, train: bool = True):
-        """motion (B, h, w, Cctx); imgs (B, L-1, h, w, Cin) ->
-        (B, L-1, h, w, out_channels) logits/latents."""
+    def setup(self):
         mc = self.model_channels
-        imgs = nn.Dense(mc, name="in_linear")(imgs)
-        motion = nn.Dense(mc, name="context_linear")(motion)
-        x = jnp.concatenate([motion[:, None], imgs], axis=1)
-        t_pos = self.param(
+        self.in_linear = nn.Dense(mc)
+        self.context_linear = nn.Dense(mc)
+        self.T_positional_embedding = self.param(
             "T_positional_embedding",
             lambda rng: mc**-0.5
             * jax.random.normal(rng, (self.frames_length, 1, 1, mc)),
         )
-        x = x + t_pos
-
         # CLIP-style scaled init (reference initialize_parameters, :357-365)
         proj_std = (mc**-0.5) * ((2 * self.layers) ** -0.5)
         attn_std = mc**-0.5
         fc_std = (2 * mc) ** -0.5
-        bias = causal_temporal_bias(self.frames_length, x.dtype)
-        for i in range(self.layers):
-            x = AxialAttentionBlock(
+        self.blocks = [
+            AxialAttentionBlock(
                 mc,
                 mc // 32,
                 dropout=self.dropout,
@@ -87,20 +80,69 @@ class FlatAxialDecoder(nn.Module):
                 attn_init=nn.initializers.normal(attn_std),
                 proj_init=nn.initializers.normal(proj_std),
                 fc_init=nn.initializers.normal(fc_std),
-                name=f"block_{i}",
-            )(x, attn_bias=bias if i % 3 == 0 else None, train=train)
-
-        x = x[:, 1:]  # drop the anchor pseudo-frame
+            )
+            for i in range(self.layers)
+        ]
         if self.use_cids:
-            return nn.Dense(self.out_channels, name="out")(x)
-        h = nn.GroupNorm(num_groups=32, name="out_norm")(x)
-        h = nn.silu(h)
-        # zero-init 1x1x1 conv3d head (reference zero_module, :350-354)
-        return nn.Dense(
-            self.out_channels,
-            kernel_init=nn.initializers.zeros,
-            name="out_conv",
-        )(h)
+            self.out = nn.Dense(self.out_channels)
+        else:
+            self.out_norm = nn.GroupNorm(num_groups=32)
+            # zero-init 1x1x1 conv3d head (reference zero_module, :350-354)
+            self.out_conv = nn.Dense(
+                self.out_channels, kernel_init=nn.initializers.zeros
+            )
+
+    def head(self, x: jax.Array) -> jax.Array:
+        if self.use_cids:
+            return self.out(x)
+        h = self.out_norm(x)
+        return self.out_conv(nn.silu(h))
+
+    def __call__(self, motion: jax.Array, imgs: jax.Array, train: bool = True):
+        """motion (B, h, w, Cctx); imgs (B, L-1, h, w, Cin) ->
+        (B, L-1, h, w, out_channels) logits/latents."""
+        imgs = self.in_linear(imgs)
+        motion = self.context_linear(motion)
+        x = jnp.concatenate([motion[:, None], imgs], axis=1)
+        x = x + self.T_positional_embedding
+
+        bias = causal_temporal_bias(self.frames_length, x.dtype)
+        for i, block in enumerate(self.blocks):
+            x = block(x, attn_bias=bias if i % 3 == 0 else None, train=train)
+
+        return self.head(x[:, 1:])  # drop the anchor pseudo-frame
+
+    # ---- cached incremental decode (exact under temporal causality) ------
+
+    def init_cache(self, batch: int, h: int, w: int, dtype=jnp.float32):
+        """Empty per-temporal-layer KV caches: the GroupNorm in the head and
+        H/W layers are per-slot, so only T-layers (i % 3 == 0) need state."""
+        mc, heads = self.model_channels, self.model_channels // 32
+        hd = mc // heads
+        shape = (batch * h * w, self.frames_length, heads, hd)
+        return {
+            f"layer_{i}": (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            for i in range(self.layers)
+            if i % 3 == 0
+        }
+
+    def decode_slot(self, slot: jax.Array, pos, cache: dict, is_anchor: bool = False):
+        """Process ONE temporal slot (B, h, w, C_in/C_ctx) through all
+        layers, reading/extending the temporal KV caches at ``pos``.
+        Returns (head output or None, new cache)."""
+        x = self.context_linear(slot) if is_anchor else self.in_linear(slot)
+        x = x + jax.lax.dynamic_index_in_dim(
+            self.T_positional_embedding, pos, axis=0, keepdims=False
+        )
+        new_cache = dict(cache)
+        for i, block in enumerate(self.blocks):
+            if i % 3 == 0:
+                k, v = new_cache[f"layer_{i}"]
+                x, k, v = block.incremental_temporal(x, k, v, pos)
+                new_cache[f"layer_{i}"] = (k, v)
+            else:
+                x = block.single_slot_spatial(x, train=False)
+        return self.head(x[:, None])[:, 0], new_cache
 
 
 class MAGECore(nn.Module):
@@ -300,6 +342,23 @@ class MAGECore(nn.Module):
 
     # ---- autoregressive generation ---------------------------------------
 
+    def _prepare_generation(self, latents0, text, speed, video_noise):
+        x_emb0 = self.embed_latents(latents0)  # (B, 1, h, w, C)
+        b, _, h, w, c = x_emb0.shape
+        first_tokens = self.stem(x_emb0)[:, 0].reshape(b, -1, c)
+        text_emb = self.text_encoder(text, train=False)
+        video_emb = None
+        if self.randomness:
+            video_emb = (
+                video_noise
+                if video_noise is not None
+                else jax.random.normal(self.make_rng("latent"), (b, h, w, 64))
+            )
+        anchor = self.compute_motion_anchor(
+            first_tokens, text_emb, video_emb, speed, train=False
+        )
+        return x_emb0, anchor
+
     def generate(
         self,
         latents0: jax.Array,
@@ -317,21 +376,8 @@ class MAGECore(nn.Module):
         embedding of frame i's prediction each step; the causal mask hides
         the stale future slots (:670-684).
         """
-        x_emb0 = self.embed_latents(latents0)  # (B, 1, h, w, C)
+        x_emb0, anchor = self._prepare_generation(latents0, text, speed, video_noise)
         b, _, h, w, c = x_emb0.shape
-        first_tokens = self.stem(x_emb0)[:, 0].reshape(b, -1, c)
-        text_emb = self.text_encoder(text, train=False)
-
-        video_emb = None
-        if self.randomness:
-            video_emb = (
-                video_noise
-                if video_noise is not None
-                else jax.random.normal(self.make_rng("latent"), (b, h, w, 64))
-            )
-        anchor = self.compute_motion_anchor(
-            first_tokens, text_emb, video_emb, speed, train=False
-        )
 
         l1 = self.frames_length - 1
         buffer0 = jnp.broadcast_to(x_emb0, (b, l1, h, w, c)).astype(x_emb0.dtype)
@@ -365,3 +411,47 @@ class MAGECore(nn.Module):
         if self.use_cids:
             return jnp.argmax(prediction, axis=-1).astype(jnp.int32)
         return prediction
+
+    def generate_cached(
+        self,
+        latents0: jax.Array,
+        text: jax.Array,
+        speed: Optional[jax.Array] = None,
+        video_noise: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """KV-cached autoregressive generation: O(L) single-slot decoder
+        passes instead of the reference's O(L^2) full passes
+        (mage_model.py:673-677) — exact for discrete ids because every
+        layer is per-slot except the causally-masked temporal attention,
+        which the cache reproduces exactly.
+
+        For the continuous (MAGE+) head the reference's GroupNorm
+        normalizes across all L-1 slots including the stale future buffer
+        (:350-354,384-389); this fast path uses per-slot statistics — use
+        ``generate`` for bit-parity with the reference loop there.
+        """
+        x_emb0, anchor = self._prepare_generation(latents0, text, speed, video_noise)
+        b, _, h, w, c = x_emb0.shape
+        decoder = self.generate_model
+
+        cache = decoder.init_cache(b, h, w, x_emb0.dtype)
+        _, cache = decoder.decode_slot(anchor, jnp.int32(0), cache, is_anchor=True)
+        slot1 = self.stem(x_emb0)[:, 0]  # embedding of frame 0 at slot 1
+
+        def step(carry, pos):
+            slot_in, cache = carry
+            pred, cache = decoder.decode_slot(slot_in, pos, cache)
+            if self.use_cids:
+                frame = jnp.argmax(pred, axis=-1).astype(jnp.int32)  # (B, h, w)
+                next_emb = self.embed_latents(frame)
+            else:
+                frame = pred
+                next_emb = self.embed_latents(frame)
+            next_slot = self.stem(next_emb[:, None])[:, 0]
+            return (next_slot, cache), frame
+
+        _, frames = jax.lax.scan(
+            step, (slot1, cache), jnp.arange(1, self.frames_length, dtype=jnp.int32)
+        )
+        # (L-1, B, ...) -> (B, L-1, ...)
+        return jnp.moveaxis(frames, 0, 1)

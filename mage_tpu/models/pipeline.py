@@ -43,7 +43,7 @@ class FirstStageVQVAE:
         model = VectorQuantizedVAE(**p)
         if variables is None:
             if ckpt_path:
-                variables = load_first_stage_variables(ckpt_path)
+                variables = load_first_stage_variables(ckpt_path, ignore_keys)
             else:
                 variables = model.init(
                     jax.random.PRNGKey(0),
@@ -73,15 +73,23 @@ class FirstStageVQVAE:
         return jax.lax.stop_gradient(frames.reshape(b, t, *frames.shape[1:]))
 
 
-def load_first_stage_variables(ckpt_path: str) -> dict:
+def load_first_stage_variables(ckpt_path: str, ignore_keys=()) -> dict:
     """Load {params, batch_stats} from an orbax checkpoint written by the
-    stage-1 trainer (a VQVAETrainState tree or a bare variables dict)."""
+    stage-1 trainer (a VQVAETrainState tree or a bare variables dict).
+    ``ignore_keys``: drop params whose top-level name starts with any prefix
+    (reference init_from_ckpt, vqvae_model.py:222-231)."""
     import orbax.checkpoint as ocp
 
     restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
     if "params" in restored:
+        params = dict(restored["params"])
+        for ik in ignore_keys:
+            for k in list(params):
+                if k.startswith(ik):
+                    print(f"Deleting key {k} from first-stage params.")
+                    del params[k]
         return {
-            "params": restored["params"],
+            "params": params,
             "batch_stats": restored.get("batch_stats", {}),
         }
     raise ValueError(f"unrecognized first-stage checkpoint layout at {ckpt_path}")
@@ -171,18 +179,29 @@ class MagePipeline:
         return self.first_stage.encode(images, rng=rng, variables=fs_variables)
 
     def init(self, rng: jax.Array, batch: Mapping[str, jax.Array]):
-        latents = self.encode_first_stage(
-            jnp.asarray(batch["images"]), jax.random.PRNGKey(0)
+        # Parameter shapes are batch-size independent: init from a 1-sample
+        # slice, and get latent shapes via eval_shape so no full-resolution
+        # encoder activations are ever materialized eagerly.
+        images1 = jnp.asarray(batch["images"][:1])
+        lat_shape = jax.eval_shape(
+            lambda im: self.encode_first_stage(im, jax.random.PRNGKey(0)), images1
         )
+        latents = jnp.zeros(lat_shape.shape, lat_shape.dtype)
         speed = batch.get("speed")
         rngs = {"params": rng, "dropout": rng, "latent": rng}
-        return self.core.init(
+        # jit the whole init: one compiled program instead of hundreds of
+        # eager op dispatches (critical on remote-execution backends)
+        init_fn = jax.jit(
+            lambda rngs, lat, txt, spd: self.core.init(
+                rngs, lat, txt, spd, train=True
+            )["params"]
+        )
+        return init_fn(
             rngs,
             latents,
-            jnp.asarray(batch["text"]),
-            jnp.asarray(speed) if speed is not None else None,
-            train=True,
-        )["params"]
+            jnp.asarray(batch["text"][:1]),
+            jnp.asarray(speed[:1]) if speed is not None else None,
+        )
 
     def loss_terms(
         self,
@@ -216,10 +235,16 @@ class MagePipeline:
         batch: Mapping[str, jax.Array],
         rng: jax.Array,
         fs_variables=None,
+        cached: Optional[bool] = None,
     ) -> jax.Array:
         """batch (first frame + text [+ speed]) -> full video (B, L, H, W, C)
-        with the ground-truth first frame prepended
-        (reference :686-691)."""
+        with the ground-truth first frame prepended (reference :686-691).
+
+        ``cached`` selects the O(L) KV-cached sampler (default for discrete
+        ids, where it is exact; the continuous head defaults to the naive
+        reference-parity loop — see MAGECore.generate_cached)."""
+        if cached is None:
+            cached = self.use_cids
         enc_rng, lat_rng = jax.random.split(rng)
         first = jnp.asarray(batch["images"])[:, 0:1]
         latents0 = self.encode_first_stage(first, enc_rng, fs_variables)
@@ -228,7 +253,7 @@ class MagePipeline:
             latents0,
             batch["text"],
             batch.get("speed"),
-            method="generate",
+            method="generate_cached" if cached else "generate",
             rngs={"latent": lat_rng},
         )
         video = self.first_stage.decode(gen_latents, variables=fs_variables)

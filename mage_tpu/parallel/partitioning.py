@@ -1,0 +1,77 @@
+"""Tensor-parallel parameter partitioning (GSPMD).
+
+The reference has no tensor parallelism (SURVEY.md §2.7) — at d_model=512
+none is needed for parity. This module adds it the TPU way regardless: the
+train step is already one jitted program over a Mesh, so TP is purely a
+*placement* decision — Megatron-style column-parallel QKV/FFN-in and
+row-parallel output projections expressed as NamedShardings on the params.
+XLA/GSPMD inserts the all-reduces over ICI; no model code changes.
+
+Works with any mesh that has a ``model`` axis, composing with the ``data``
+axis (DP x TP).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# column-parallel: shard the output features (last axis of the kernel)
+_COLUMN_KEYS = ("q_proj", "k_proj", "v_proj", "c_fc", "linear1")
+# row-parallel: shard the input features (first axis of the kernel)
+_ROW_KEYS = ("out_proj", "c_proj", "linear2")
+
+
+def param_spec(path: str, value: Any, model_axis: str = "model") -> P:
+    """PartitionSpec for one parameter, keyed on its tree path."""
+    ndim = getattr(value, "ndim", 0)
+    if ndim < 2:
+        return P()  # biases, scales, 1-D embeddings: replicate
+    is_kernel = path.endswith("kernel']") or path.endswith("/kernel")
+    if not is_kernel:
+        return P()
+    if any(k in path for k in _COLUMN_KEYS):
+        # DenseGeneral QKV kernels are (d, heads, head_dim): shard heads
+        spec = [None] * ndim
+        spec[1 if ndim == 3 else ndim - 1] = model_axis
+        return P(*spec)
+    if any(k in path for k in _ROW_KEYS):
+        # out_proj kernels are (heads, head_dim, d) or (4d, d): shard axis 0
+        spec = [None] * ndim
+        spec[0] = model_axis
+        return P(*spec)
+    return P()
+
+
+def shard_params(params: Any, mesh: Mesh, model_axis: str = "model") -> Any:
+    """Place a param tree on ``mesh`` with TP shardings (replicated over
+    every other axis). Divisibility-guarded: any dim not divisible by the
+    axis size falls back to replication."""
+    axis_size = mesh.shape.get(model_axis, 1)
+
+    def _place(path, x):
+        spec = param_spec(jax.tree_util.keystr(path), x, model_axis)
+        if axis_size > 1 and any(spec):
+            for dim, name in enumerate(spec):
+                if name == model_axis and x.shape[dim] % axis_size:
+                    spec = P()
+                    break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(_place, params)
+
+
+def sharding_summary(params: Any, mesh: Mesh) -> dict[str, int]:
+    """Count params by placement kind — for logging/tests."""
+    counts = {"column": 0, "row": 0, "replicated": 0}
+    for path, x in jax.tree_util.tree_leaves_with_path(params):
+        spec = param_spec(jax.tree_util.keystr(path), x)
+        if not any(spec):
+            counts["replicated"] += 1
+        elif spec[0] == "model":
+            counts["row"] += 1
+        else:
+            counts["column"] += 1
+    return counts

@@ -131,12 +131,23 @@ class MageTrainer:
 
     def init_state(self, sample_batch) -> MageTrainState:
         params = self.pipeline.init(jax.random.PRNGKey(self.seed), sample_batch)
+        if self.mesh.shape.get("model", 1) > 1:
+            # tensor parallelism: Megatron-style column/row placement; the
+            # optimizer state inherits the shardings through the jitted init
+            from mage_tpu.parallel.partitioning import shard_params
+
+            params = shard_params(params, self.mesh)
+        else:
+            params = jax.device_put(params, replicated_sharding(self.mesh))
+        opt_state = jax.jit(self.tx.init)(params)
         state = MageTrainState(
-            step=jnp.zeros((), jnp.int32),
+            step=jax.device_put(
+                jnp.zeros((), jnp.int32), replicated_sharding(self.mesh)
+            ),
             params=params,
-            opt_state=self.tx.init(params),
+            opt_state=opt_state,
         )
-        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        self.state = state
         n = sum(x.size for x in jax.tree_util.tree_leaves(params))
         print(f"stage-2 params: {n:,}")
         return self.state

@@ -1,0 +1,100 @@
+"""KL autoencoder (MAGE+ first stage) tests: shapes at the reference's
+ddconfig scale factor, DiagonalGaussian math, stochastic encode, and
+round-trip through the pipeline wrapper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mage_tpu.models.autoencoder_kl import (
+    AutoencoderKL,
+    DiagonalGaussian,
+    FirstStageKL,
+)
+
+
+def _small_model(resolution=32):
+    return AutoencoderKL(
+        embed_dim=4, ch=32, ch_mult=(1, 2, 4), num_res_blocks=1,
+        in_channels=3, out_ch=3, z_channels=4, double_z=True,
+        resolution=resolution,
+    )
+
+
+def test_diagonal_gaussian_math():
+    moments = jnp.concatenate(
+        [jnp.full((2, 4, 4, 4), 1.5), jnp.zeros((2, 4, 4, 4))], axis=-1
+    )  # mean 1.5, logvar 0
+    g = DiagonalGaussian(moments)
+    np.testing.assert_allclose(np.asarray(g.mode()), 1.5)
+    # KL(N(1.5,1) || N(0,1)) = 0.5*1.5^2 per dim
+    np.testing.assert_allclose(np.asarray(g.kl()), 0.5 * 1.5**2 * 4 * 4 * 4, rtol=1e-6)
+    s1 = g.sample(jax.random.PRNGKey(0))
+    s2 = g.sample(jax.random.PRNGKey(1))
+    assert float(jnp.abs(s1 - s2).max()) > 0  # stochastic
+    # logvar clamp
+    g2 = DiagonalGaussian(jnp.concatenate(
+        [jnp.zeros((1, 2, 2, 1)), jnp.full((1, 2, 2, 1), 100.0)], axis=-1))
+    assert float(g2.logvar.max()) == 20.0
+
+
+def test_autoencoder_shapes_f4():
+    """ch_mult (1,2,4) -> 2 downsamples -> f4: 32 -> 8."""
+    model = _small_model(32)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1))
+    recon, posterior = model.apply(variables, x, jax.random.PRNGKey(2))
+    assert recon.shape == (2, 32, 32, 3)
+    assert posterior.mean.shape == (2, 8, 8, 4)
+    moments = model.apply(variables, x, method="encode_moments")
+    assert moments.shape == (2, 8, 8, 8)  # double_z
+    dec = model.apply(variables, posterior.mode(), method="decode")
+    assert dec.shape == (2, 32, 32, 3)
+
+
+def test_first_stage_kl_wrapper_video_contract():
+    fs = FirstStageKL.from_config(
+        {
+            "embed_dim": 4,
+            "ddconfig": {
+                "double_z": True, "z_channels": 4, "resolution": 32,
+                "in_channels": 3, "out_ch": 3, "ch": 32,
+                "ch_mult": [1, 2, 4], "num_res_blocks": 1,
+                "attn_resolutions": [], "dropout": 0.0,
+            },
+            "lossconfig": {"target": "torch.nn.Identity"},
+            "monitor": "val/rec_loss",
+        }
+    )
+    assert fs.embed_dim == 4 and fs.is_discrete is False
+    videos = jnp.asarray(np.random.RandomState(0).randn(2, 3, 32, 32, 3), jnp.float32)
+    z1 = fs.encode(videos, jax.random.PRNGKey(0))
+    z2 = fs.encode(videos, jax.random.PRNGKey(1))
+    assert z1.shape == (2, 3, 8, 8, 4)
+    assert float(jnp.abs(z1 - z2).max()) > 0  # stochastic targets per step
+    out = fs.decode(z1)
+    assert out.shape == videos.shape
+
+
+def test_kl_gradients_and_recon_trainable():
+    """One Adam step on MSE+KL reduces the loss (trainability smoke)."""
+    import optax
+
+    model = _small_model(32)
+    x = jnp.asarray(np.random.RandomState(1).rand(4, 32, 32, 3) - 0.5, jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1))
+    params = variables["params"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, rng):
+        recon, post = model.apply({"params": p}, x, rng)
+        return jnp.mean((recon - x) ** 2) + 1e-6 * jnp.mean(post.kl())
+
+    l0 = float(loss_fn(params, jax.random.PRNGKey(2)))
+    for i in range(5):
+        g = jax.grad(loss_fn)(params, jax.random.PRNGKey(2))
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    l1 = float(loss_fn(params, jax.random.PRNGKey(2)))
+    assert l1 < l0

@@ -176,3 +176,30 @@ def test_generate_matches_naive_reference_loop(use_cids):
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(naive), rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("use_cids", [True, False])
+def test_generate_cached_matches_naive(use_cids):
+    """The KV-cached O(L) sampler must reproduce the naive loop exactly for
+    discrete ids. (The continuous head differs by design: per-slot vs
+    cross-slot GroupNorm statistics — see MAGECore.generate_cached.)"""
+    core = _core(use_cids=use_cids, randomness=True)
+    latents, text, speed = _batch(use_cids)
+    variables = _init(core, latents, text, speed)
+    latents0 = latents[:, 0:1]
+    noise = jax.random.normal(jax.random.PRNGKey(7), (2, R, R, 64))
+
+    naive = core.apply(
+        variables, latents0, text, speed, video_noise=noise, method="generate",
+        rngs={"latent": jax.random.PRNGKey(8)},
+    )
+    cached = core.apply(
+        variables, latents0, text, speed, video_noise=noise,
+        method="generate_cached", rngs={"latent": jax.random.PRNGKey(8)},
+    )
+    assert cached.shape == naive.shape
+    if use_cids:
+        np.testing.assert_array_equal(np.asarray(cached), np.asarray(naive))
+    else:
+        # finite + same scale, but not identical (GroupNorm statistics)
+        assert np.isfinite(np.asarray(cached)).all()

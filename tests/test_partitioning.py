@@ -1,0 +1,70 @@
+"""Tensor-parallel partitioning tests: spec rules, divisibility fallback,
+and a full DPxTP train step on a 4x2 mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mage_tpu.parallel import make_mesh
+from mage_tpu.parallel.partitioning import param_spec, shard_params
+from jax.sharding import PartitionSpec as P
+
+
+def test_param_spec_rules():
+    k3 = jnp.zeros((64, 2, 32))  # DenseGeneral qkv kernel
+    assert param_spec("['attn']['q_proj']['kernel']", k3) == P(None, "model", None)
+    k_out = jnp.zeros((2, 32, 64))
+    assert param_spec("['attn']['out_proj']['kernel']", k_out) == P("model", None, None)
+    k_fc = jnp.zeros((64, 256))
+    assert param_spec("['mlp']['c_fc']['kernel']", k_fc) == P(None, "model")
+    k_proj = jnp.zeros((256, 64))
+    assert param_spec("['mlp']['c_proj']['kernel']", k_proj) == P("model", None)
+    bias = jnp.zeros((64,))
+    assert param_spec("['mlp']['c_fc']['bias']", bias) == P()
+    other = jnp.zeros((8, 8))
+    assert param_spec("['conv']['kernel']", other) == P()
+
+
+def test_shard_params_divisibility_fallback():
+    mesh = make_mesh({"data": 4, "model": 2})
+    params = {
+        "attn": {"q_proj": {"kernel": jnp.zeros((8, 2, 4))}},  # heads=2 ok
+        "odd": {"c_fc": {"kernel": jnp.zeros((8, 7))}},  # 7 % 2 != 0 -> replicate
+    }
+    placed = shard_params(params, mesh)
+    q = placed["attn"]["q_proj"]["kernel"]
+    assert "model" in str(q.sharding.spec)
+    odd = placed["odd"]["c_fc"]["kernel"]
+    assert not any(odd.sharding.spec)
+
+
+def test_dp_tp_train_step_runs():
+    """Full MAGE train step on a data=4 x model=2 mesh — GSPMD partitions
+    attention/MLP weights; loss must be finite and params stay sharded."""
+    from __graft_entry__ import _tiny_pipeline, _batch
+    from mage_tpu.config import loads_config
+    from mage_tpu.training.mage_trainer import MageTrainer
+    import tempfile
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    pipeline = _tiny_pipeline()
+    cfg = loads_config("epoch: 1\nbatchsize: 8\nlr: 1e-3\ncheckpoint_every: 10")
+    with tempfile.TemporaryDirectory() as td:
+        trainer = MageTrainer(pipeline, cfg, td, mesh=mesh)
+        batch = _batch(pipeline, batch_size=8, height=32, width_px=32, channels=1)
+        trainer.init_state(batch)
+        # at least one param actually sharded on the model axis
+        specs = [
+            str(x.sharding.spec)
+            for x in jax.tree_util.tree_leaves(trainer.state.params)
+        ]
+        assert any("model" in s for s in specs)
+        state, terms = trainer.train_step(
+            trainer.state, trainer.fs_vars, trainer._prep(batch), 1e-3,
+            trainer.beta, pipeline.alpha, jax.random.PRNGKey(0),
+        )
+        assert np.isfinite(float(terms["final_loss"]))
+        out_specs = [
+            str(x.sharding.spec) for x in jax.tree_util.tree_leaves(state.params)
+        ]
+        assert any("model" in s for s in out_specs)
