@@ -30,21 +30,11 @@ def build_pipeline(frames_length: int = 16):
     return instantiate_from_config(cfg.model)
 
 
-def enable_compilation_cache():
-    """Persistent XLA compilation cache: first bench run on a machine pays
-    the (slow, possibly remote) compile; later runs start in seconds."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def main():
     import jax
     import jax.numpy as jnp
+
+    from mage_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 

@@ -330,28 +330,38 @@ class TransformerTextEncoder(nn.Module):
 
 class BasicBlock3D(nn.Module):
     """3D-conv residual block with GroupNorm(16) and temporal stride
-    (reference mage_model.py:264-297). Input (B, T, H, W, C)."""
+    (reference mage_model.py:264-297). Input (B, T, H, W, C).
+
+    ``spectral`` wraps conv1/conv2 in spectral normalization (the
+    reference's optional flag, :277-279; never enabled by shipped configs —
+    flax's SpectralNorm needs ``mutable=['batch_stats']`` for its power
+    iteration when used in training)."""
 
     out_planes: int
     stride: int = 1
     stride_t: int = 1
     downsample: bool = False
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
         strides = (self.stride_t, self.stride, self.stride)
+        if self.spectral:
+            wrap = lambda m: (lambda y: nn.SpectralNorm(m)(y, update_stats=False))
+        else:
+            wrap = lambda m: m
         residual = x
-        h = nn.Conv(
+        h = wrap(nn.Conv(
             self.out_planes, (3, 3, 3), strides=strides, padding=1, use_bias=False,
             kernel_init=kaiming, name="conv1",
-        )(x)
+        ))(x)
         h = nn.GroupNorm(num_groups=16, name="bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(
+        h = wrap(nn.Conv(
             self.out_planes, (3, 3, 3), padding=1, use_bias=False,
             kernel_init=kaiming, name="conv2",
-        )(h)
+        ))(h)
         h = nn.GroupNorm(num_groups=16, name="bn2")(h)
         if self.downsample:
             residual = nn.Conv(

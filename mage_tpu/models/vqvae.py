@@ -129,13 +129,17 @@ class _Decoder4(nn.Module):
         z = ResBlock(self.dim)(z, train)
         z = ResBlock(self.dim)(z, train)
         z = nn.relu(z)
+        # transpose_kernel + explicit padding matches torch
+        # ConvTranspose2d(k=4, s=2, p=1) exactly (for weight import)
         z = nn.ConvTranspose(
-            self.dim, (4, 4), strides=(2, 2), padding="SAME", kernel_init=_conv_init
+            self.dim, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+            transpose_kernel=True, kernel_init=_conv_init,
         )(z)
         z = nn.BatchNorm(use_running_average=not train)(z)
         z = nn.relu(z)
         z = nn.ConvTranspose(
-            self.out_dim, (4, 4), strides=(2, 2), padding="SAME", kernel_init=_conv_init
+            self.out_dim, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+            transpose_kernel=True, kernel_init=_conv_init,
         )(z)
         return nn.tanh(z)
 

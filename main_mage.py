@@ -124,6 +124,9 @@ def sampling(opt):
 
 def main(argv=None):
     opt = parse_args(argv)
+    from mage_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if opt.multihost:
         import jax
 

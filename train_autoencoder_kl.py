@@ -41,6 +41,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from mage_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import flax.struct
     import jax

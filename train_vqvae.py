@@ -71,6 +71,9 @@ def build_datasets(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from mage_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.multihost:
         import jax
 
