@@ -27,8 +27,6 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Optional
-
 import numpy as np
 
 from mage_tpu.data.readers import open_blob_store

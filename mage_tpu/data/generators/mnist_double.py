@@ -18,7 +18,6 @@ import os
 import numpy as np
 
 from mage_tpu.data.generators import mnist_common as mc
-from mage_tpu.data.recordio import RecordWriter
 
 SEQ_LENGTH = 20
 MOTION_IDXS = np.array([[0, 0], [0, 1], [1, 0], [1, 1]])

@@ -20,7 +20,6 @@ import numpy as np
 
 from mage_tpu.data.generators import mnist_common as mc
 from mage_tpu.data.generators.mnist_double import MOTION_IDXS, pair_motion_split
-from mage_tpu.data.recordio import RecordWriter
 
 SEQ_LENGTH = 20
 MOTION_STRINGS = [

@@ -1,0 +1,44 @@
+"""FVD (Frechet Video Distance) harness.
+
+The reference repo does not compute FVD (SURVEY.md §4/§6 — the paper's FVD
+tables are produced outside the repo). This harness provides the full
+pipeline around the feature extractor: batched feature extraction, Gaussian
+statistics, and the Frechet distance. The standard extractor is an I3D
+network pretrained on Kinetics; no such checkpoint ships in offline
+environments, so the extractor is injected:
+
+    fvd = compute_fvd(real_videos, gen_videos, extractor=my_i3d_fn)
+
+``extractor``: callable (N, T, H, W, 3) uint8/float -> (N, D) features.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+
+from mage_tpu.evals.metrics import frechet_distance, gaussian_stats
+
+
+def extract_features(
+    videos: Iterable[np.ndarray],
+    extractor: Callable[[np.ndarray], np.ndarray],
+    batch_size: int = 16,
+) -> np.ndarray:
+    videos = np.asarray(videos)
+    feats = []
+    for start in range(0, len(videos), batch_size):
+        feats.append(np.asarray(extractor(videos[start : start + batch_size])))
+    return np.concatenate(feats, axis=0)
+
+
+def compute_fvd(
+    real_videos: np.ndarray,
+    gen_videos: np.ndarray,
+    extractor: Callable[[np.ndarray], np.ndarray],
+    batch_size: int = 16,
+) -> float:
+    real = extract_features(real_videos, extractor, batch_size)
+    gen = extract_features(gen_videos, extractor, batch_size)
+    return frechet_distance(*gaussian_stats(real), *gaussian_stats(gen))

@@ -13,7 +13,7 @@ an rng.
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Mapping, Sequence
 
 import flax.linen as nn
 import jax
@@ -250,16 +250,24 @@ class FirstStageKL:
     def encode(self, videos: jax.Array, rng: jax.Array, variables=None) -> jax.Array:
         """(B, T, H, W, C) -> sampled latents (B, T, h, w, z) — stochastic
         per step (reference mage_model.py:542-549)."""
+        from mage_tpu.models.pipeline import _chunked_frames
+
         variables = self.variables if variables is None else variables
         b, t = videos.shape[:2]
         flat = videos.reshape(b * t, *videos.shape[2:])
-        moments = self.model.apply(variables, flat, method="encode_moments")
+        moments = _chunked_frames(
+            lambda c: self.model.apply(variables, c, method="encode_moments"), flat
+        )
         z = DiagonalGaussian(moments).sample(rng)
         return jax.lax.stop_gradient(z.reshape(b, t, *z.shape[1:]))
 
     def decode(self, latents: jax.Array, variables=None) -> jax.Array:
+        from mage_tpu.models.pipeline import _chunked_frames
+
         variables = self.variables if variables is None else variables
         b, t = latents.shape[:2]
         flat = latents.reshape(b * t, *latents.shape[2:])
-        frames = self.model.apply(variables, flat, method="decode")
+        frames = _chunked_frames(
+            lambda c: self.model.apply(variables, c, method="decode"), flat
+        )
         return jax.lax.stop_gradient(frames.reshape(b, t, *frames.shape[1:]))

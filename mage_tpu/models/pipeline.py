@@ -25,6 +25,26 @@ from mage_tpu.models.mage import MAGECore
 from mage_tpu.models.vqvae import VectorQuantizedVAE
 
 
+def _chunked_frames(fn, flat: jax.Array, max_chunk: int = 512) -> jax.Array:
+    """Apply a per-frame model over (N, ...) in HBM-bounded chunks via
+    lax.map. The batch-folded first-stage conv stacks otherwise materialize
+    O(N * H * W * C_mid) activation temps — at CATER scale that exceeds
+    v5e HBM once N reaches ~1000 frames (measured: 960 frames at 128px
+    needs >22 GB unchunked; 480 fits). Chunking serializes, so the
+    threshold is set just under the single-shot HBM ceiling."""
+    n = flat.shape[0]
+    if n <= max_chunk:
+        return fn(flat)
+    chunk = max_chunk
+    while n % chunk:  # largest divisor of n not exceeding max_chunk
+        chunk -= 1
+    if chunk <= 1:
+        return fn(flat)
+    chunks = flat.reshape(n // chunk, chunk, *flat.shape[1:])
+    out = jax.lax.map(fn, chunks)
+    return out.reshape(n, *out.shape[2:])
+
+
 class FirstStageVQVAE:
     """Frozen VQ-VAE wrapper: video-batched encode/decode
     (reference first_stage_encode/decode, mage_model.py:530-567)."""
@@ -61,7 +81,10 @@ class FirstStageVQVAE:
         variables = self.variables if variables is None else variables
         b, t = videos.shape[:2]
         flat = videos.reshape(b * t, *videos.shape[2:])
-        ids = self.model.apply(variables, flat, method="encode", mutable=False)
+        ids = _chunked_frames(
+            lambda c: self.model.apply(variables, c, method="encode", mutable=False),
+            flat,
+        )
         return jax.lax.stop_gradient(ids.reshape(b, t, *ids.shape[1:]))
 
     def decode(self, latents: jax.Array, variables=None) -> jax.Array:
@@ -69,7 +92,10 @@ class FirstStageVQVAE:
         variables = self.variables if variables is None else variables
         b, t = latents.shape[:2]
         flat = latents.reshape(b * t, *latents.shape[2:])
-        frames = self.model.apply(variables, flat, method="decode", mutable=False)
+        frames = _chunked_frames(
+            lambda c: self.model.apply(variables, c, method="decode", mutable=False),
+            flat,
+        )
         return jax.lax.stop_gradient(frames.reshape(b, t, *frames.shape[1:]))
 
 

@@ -26,7 +26,7 @@ TPU-native design notes (not a port):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

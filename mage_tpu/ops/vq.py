@@ -25,7 +25,7 @@ Note ``argmin`` ties resolve to the *first* minimal index, matching
 from __future__ import annotations
 
 import functools
-from typing import Literal, Optional
+from typing import Literal
 
 import jax
 import jax.numpy as jnp

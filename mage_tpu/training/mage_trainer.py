@@ -19,7 +19,6 @@ Loop parity with reference main_mage.py:58-199:
 from __future__ import annotations
 
 import functools
-import os
 from typing import Any, Optional
 
 import flax.struct
@@ -28,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mage_tpu.config import save_config
 from mage_tpu.models.pipeline import MagePipeline
 from mage_tpu.parallel import make_mesh, replicated_sharding, shard_batch
 from mage_tpu.training.checkpoint import Checkpointer

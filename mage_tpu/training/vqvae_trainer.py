@@ -26,7 +26,7 @@ import numpy as np
 import optax
 
 from mage_tpu.models.vqvae import VectorQuantizedVAE
-from mage_tpu.parallel import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from mage_tpu.parallel import make_mesh, replicated_sharding, shard_batch
 from mage_tpu.training.checkpoint import Checkpointer
 from mage_tpu.utils import MetricsWriter, Timer
 
@@ -230,4 +230,6 @@ class VQVAETrainer:
             for k, v in out.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             count += 1
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        if count == 0:
+            return {"reconstruction": float("nan"), "quantization": float("nan")}
+        return {k: v / count for k, v in totals.items()}

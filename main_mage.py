@@ -81,7 +81,6 @@ def sampling(opt):
     from mage_tpu.config import instantiate_from_config, load_config
     from mage_tpu.data.loader import Loader
     from mage_tpu.training.checkpoint import Checkpointer
-    from mage_tpu.training.mage_trainer import MageTrainState, make_mage_tx
     from mage_tpu.utils.media import save_gif
 
     test_model = opt.test_model or os.path.join(opt.checkpoint_path, "model_best")

@@ -51,7 +51,7 @@ def main(argv=None):
     import optax
 
     from mage_tpu.data.loader import Loader
-    from mage_tpu.models.autoencoder_kl import AutoencoderKL, DiagonalGaussian
+    from mage_tpu.models.autoencoder_kl import AutoencoderKL
     from mage_tpu.parallel import make_mesh, replicated_sharding, shard_batch
     from mage_tpu.training.checkpoint import Checkpointer
     from mage_tpu.utils import MetricsWriter, Timer

@@ -101,7 +101,8 @@ def main(argv=None):
     train_loader = Loader(
         train_ds, args.batch_size, shuffle=True, seed=args.seed, drop_last=True
     )
-    eval_bs = 16 if 16 % n_dev == 0 else n_dev
+    eval_bs = min(16 if 16 % n_dev == 0 else n_dev, len(test_ds))
+    eval_bs = max((eval_bs // n_dev) * n_dev, n_dev)
     test_loader = Loader(test_ds, eval_bs, shuffle=False, drop_last=True)
 
     fixed = np.stack([test_ds[i] for i in range(min(16, len(test_ds)))])
