@@ -55,6 +55,15 @@ def speed_subsample_indices(
     )
 
 
+def _encode_padded(tokenizer, caption: str, context_length: int) -> np.ndarray:
+    if hasattr(tokenizer, "encode_padded"):
+        return tokenizer.encode_padded(caption, context_length)
+    ids = np.asarray(tokenizer.encode(caption), np.int32)[:context_length]
+    out = np.full((context_length,), tokenizer.padding_idx, np.int32)
+    out[: len(ids)] = ids
+    return out
+
+
 def _pad_clip(images: np.ndarray, frames_length: int) -> np.ndarray:
     if images.shape[0] < frames_length:
         pad = np.repeat(images[-1:], frames_length - images.shape[0], axis=0)
@@ -84,6 +93,7 @@ class MovingMnist:
         sample_speed: list,
         context_length: int = 32,
         image_transform=None,
+        bert_path=None,
         seed: int = 0,
     ):
         self.reader = open_blob_store(data_root + split)
@@ -91,7 +101,12 @@ class MovingMnist:
         self.frames_length = frames_length
         self.sample_speed = list(sample_speed)
         self.context_length = context_length
-        self.tokenizer = VocabTokenizer(MNIST_VOCAB, split_mode="whitespace")
+        if bert_path:  # optional pretrained tokenizer (reference dataload.py:205-210)
+            from mage_tpu.data.tokenizers import HFTokenizer
+
+            self.tokenizer = HFTokenizer(bert_path)
+        else:
+            self.tokenizer = VocabTokenizer(MNIST_VOCAB, split_mode="whitespace")
         self.padding_idx = self.tokenizer.padding_idx
         self._rng = random.Random(seed)
 
@@ -99,7 +114,7 @@ class MovingMnist:
         return len(self.reader)
 
     def encode(self, caption: str) -> np.ndarray:
-        return self.tokenizer.encode_padded(caption, self.context_length)
+        return _encode_padded(self.tokenizer, caption, self.context_length)
 
     def decode(self, tokens) -> str:
         return self.tokenizer.decode(tokens)
@@ -154,6 +169,7 @@ class CATER:
         sample_speed: list,
         context_length: int = 38,
         image_transform="default",
+        tokenizer_path=None,
         randomness: bool = False,
         seed: int = 0,
     ):
@@ -169,8 +185,13 @@ class CATER:
                 [T.Resize(128), T.ToFloat(), T.Normalize([0.5], [0.5])]
             )
         self.transform = image_transform
-        vocab = CATERV1_VOCAB if dataset == "caterv1" else CATERV2_VOCAB
-        self.tokenizer = VocabTokenizer(vocab, split_mode="regex")
+        if tokenizer_path:  # (reference dataload.py:314-319)
+            from mage_tpu.data.tokenizers import HFTokenizer
+
+            self.tokenizer = HFTokenizer(tokenizer_path)
+        else:
+            vocab = CATERV1_VOCAB if dataset == "caterv1" else CATERV2_VOCAB
+            self.tokenizer = VocabTokenizer(vocab, split_mode="regex")
         self.padding_idx = self.tokenizer.padding_idx
         self._rng = random.Random(seed)
 
@@ -178,7 +199,7 @@ class CATER:
         return len(self.anno)
 
     def encode(self, caption: str) -> np.ndarray:
-        return self.tokenizer.encode_padded(caption, self.context_length)
+        return _encode_padded(self.tokenizer, caption, self.context_length)
 
     def decode(self, tokens) -> str:
         return self.tokenizer.decode(tokens)

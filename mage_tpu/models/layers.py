@@ -74,7 +74,8 @@ class MultiHeadAttention(nn.Module):
             jnp.asarray(hd, qh.dtype)
         )
         if bias is not None:
-            scores = scores + bias  # (Lq, Lk) or broadcastable
+            # cast: an f32 bias must not promote bf16 activations
+            scores = scores + bias.astype(scores.dtype)  # (Lq, Lk) or broadcastable
         if key_padding_mask is not None:
             # True = masked (torch convention); shape (B, Lk)
             scores = scores + jnp.where(

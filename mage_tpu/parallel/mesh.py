@@ -60,11 +60,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a host-side pytree of arrays onto the mesh, sharding each
-    leaf's leading dimension over ``axis``."""
+    leaf's leading dimension over ``axis``.
+
+    Multi-host: each process passes its *local* shard (produced by a Loader
+    with ``num_shards=process_count``) and the leaves are assembled into
+    global arrays — the JAX-native replacement for DistributedSampler +
+    per-rank batches (reference main_mage.py:93,108-110)."""
     sharding = batch_sharding(mesh, axis)
+    multiprocess = jax.process_count() > 1
 
     def _put(x):
         x = np.asarray(x)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)

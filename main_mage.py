@@ -61,11 +61,15 @@ def train(opt):
         pipeline, configs.train, opt.checkpoint_path, seed=opt.seed
     )
     n_dev = trainer.mesh.devices.size
-    bs = int(configs.train.batchsize)
+    bs = int(configs.train.batchsize)  # global batch size
     if bs % n_dev:
         raise SystemExit(f"batchsize {bs} not divisible by {n_dev} devices")
-    train_loader = Loader(train_dataset, bs, shuffle=True, seed=opt.seed, drop_last=True)
-    test_loader = Loader(test_dataset, bs, shuffle=False, drop_last=True)
+    n_proc, proc = jax.process_count(), jax.process_index()
+    local_bs = bs // n_proc  # per-process share (reference main_mage.py:93)
+    train_loader = Loader(train_dataset, local_bs, shuffle=True, seed=opt.seed,
+                          drop_last=True, num_shards=n_proc, shard_index=proc)
+    test_loader = Loader(test_dataset, local_bs, shuffle=False, drop_last=True,
+                         num_shards=n_proc, shard_index=proc)
 
     first = next(iter(train_loader))
     trainer.init_state({k: v for k, v in first.items() if k != "video_id"})

@@ -95,15 +95,20 @@ def main(argv=None):
         ckpt_dir=os.path.join(args.model_folder, args.output_folder),
         seed=args.seed,
     )
+    import jax
+
     n_dev = trainer.mesh.devices.size
     if args.batch_size % n_dev:
         raise SystemExit(f"--batch-size {args.batch_size} not divisible by {n_dev} devices")
+    n_proc, proc = jax.process_count(), jax.process_index()
     train_loader = Loader(
-        train_ds, args.batch_size, shuffle=True, seed=args.seed, drop_last=True
+        train_ds, args.batch_size // n_proc, shuffle=True, seed=args.seed,
+        drop_last=True, num_shards=n_proc, shard_index=proc,
     )
     eval_bs = min(16 if 16 % n_dev == 0 else n_dev, len(test_ds))
     eval_bs = max((eval_bs // n_dev) * n_dev, n_dev)
-    test_loader = Loader(test_ds, eval_bs, shuffle=False, drop_last=True)
+    test_loader = Loader(test_ds, eval_bs // n_proc, shuffle=False, drop_last=True,
+                         num_shards=n_proc, shard_index=proc)
 
     fixed = np.stack([test_ds[i] for i in range(min(16, len(test_ds)))])
 
