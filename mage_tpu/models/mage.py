@@ -308,10 +308,12 @@ class MAGECore(nn.Module):
         mu = logvar = None
         if self.randomness:
             mu, logvar = self.video_posterior(x_emb)
-            eps = jax.random.normal(self.make_rng("latent"), logvar.shape)
+            eps = jax.random.normal(self.make_rng("latent"), logvar.shape, logvar.dtype)
             video_emb = mu + eps * jnp.exp(0.5 * logvar)
             if test_flag:  # prior sampling at test (reference :604-605)
-                video_emb = jax.random.normal(self.make_rng("latent"), logvar.shape)
+                video_emb = jax.random.normal(
+                    self.make_rng("latent"), logvar.shape, logvar.dtype
+                )
 
         anchor = self.compute_motion_anchor(
             first_tokens, text_emb, video_emb, speed, train=train
@@ -352,7 +354,9 @@ class MAGECore(nn.Module):
             video_emb = (
                 video_noise
                 if video_noise is not None
-                else jax.random.normal(self.make_rng("latent"), (b, h, w, 64))
+                else jax.random.normal(
+                    self.make_rng("latent"), (b, h, w, 64), x_emb0.dtype
+                )
             )
         anchor = self.compute_motion_anchor(
             first_tokens, text_emb, video_emb, speed, train=False

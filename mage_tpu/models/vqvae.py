@@ -21,7 +21,9 @@ TPU-native design notes (not a port):
   the jitted loss sees the whole logically-global batch (the reference's
   DDP BatchNorm is per-rank and unsynced — a conscious improvement,
   SURVEY.md §7 hard-part 3). Running averages are kept for the frozen
-  first-stage use in MAGE (mage_model.py:516-521 sets eval()).
+  first-stage use in MAGE (mage_model.py:516-521 sets eval());
+  ``momentum=0.9`` matches torch's default update rate so short trainings
+  calibrate the eval-mode statistics at the same speed as the reference.
 """
 
 from __future__ import annotations
@@ -47,10 +49,10 @@ class ResBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         h = nn.relu(x)
         h = nn.Conv(self.dim, (3, 3), padding=1, kernel_init=_conv_init)(h)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         h = nn.relu(h)
         h = nn.Conv(self.dim, (1, 1), kernel_init=_conv_init)(h)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         return x + h
 
 
@@ -112,7 +114,7 @@ class _Encoder4(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.Conv(self.dim, (4, 4), strides=2, padding=1, kernel_init=_conv_init)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
         x = nn.Conv(self.dim, (4, 4), strides=2, padding=1, kernel_init=_conv_init)(x)
         x = ResBlock(self.dim)(x, train)
@@ -135,7 +137,7 @@ class _Decoder4(nn.Module):
             self.dim, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
             transpose_kernel=True, kernel_init=_conv_init,
         )(z)
-        z = nn.BatchNorm(use_running_average=not train)(z)
+        z = nn.BatchNorm(use_running_average=not train, momentum=0.9)(z)
         z = nn.relu(z)
         z = nn.ConvTranspose(
             self.out_dim, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),

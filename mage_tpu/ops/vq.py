@@ -74,13 +74,14 @@ def _vq_kernel(z_ref, cb_ref, cbsq_ref, idx_ref, codes_ref):
     cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
     idx2 = jnp.min(jnp.where(dist == mins, cols, k), axis=1, keepdims=True)
     idx_ref[:] = idx2
-    onehot = (cols == idx2).astype(cb_ref.dtype)
+    onehot = (cols == idx2).astype(jnp.float32)
+    # Mosaic requires 32-bit matmul accumulators; cast down afterwards
     codes_ref[:] = jax.lax.dot_general(
         onehot,
-        cb_ref[:],
+        cb,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=codes_ref.dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(codes_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
