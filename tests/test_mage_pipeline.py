@@ -198,3 +198,23 @@ def test_generation_end_to_end(tmp_path, mesh8):
     np.testing.assert_allclose(
         np.asarray(video[:, 0]), batch["images"][:, 0], atol=1e-6
     )
+
+
+def test_chunked_frames_matches_single_shot():
+    import jax.numpy as jnp
+    from mage_tpu.models.pipeline import _chunked_frames
+
+    x = jnp.arange(24.0).reshape(12, 2)
+    fn = lambda c: c * 2.0 + 1.0
+    np.testing.assert_allclose(
+        np.asarray(_chunked_frames(fn, x, max_chunk=5)),  # divisor search -> 4
+        np.asarray(fn(x)),
+    )
+    np.testing.assert_allclose(  # n <= max_chunk: single shot
+        np.asarray(_chunked_frames(fn, x, max_chunk=100)), np.asarray(fn(x))
+    )
+    # prime n falls back to single shot
+    y = jnp.arange(14.0).reshape(7, 2)
+    np.testing.assert_allclose(
+        np.asarray(_chunked_frames(fn, y, max_chunk=4)), np.asarray(fn(y))
+    )
