@@ -168,24 +168,37 @@ class AxialAttentionBlock(nn.Module):
     def incremental_temporal(
         self,
         x_slot: jax.Array,  # (B, H, W, C) — the single new temporal slot
-        cache_k: jax.Array,  # (B*H*W, L, heads, hd)
+        cache_k: jax.Array,  # (L, B*H*W, heads, hd) — L leading: slab update
         cache_v: jax.Array,
         pos: jax.Array,  # scalar index of this slot
     ):
         """Exact single-slot step of a causal temporal layer (axial_dim=1):
         write this slot's K/V at ``pos``, attend the slot's queries over
-        cache positions <= pos. Returns (y_slot, cache_k, cache_v)."""
+        cache positions <= pos. Returns (y_slot, cache_k, cache_v).
+
+        Caches are laid out time-major so each step's write is one
+        contiguous leading-axis slab (cheap in-place dynamic_update_slice)."""
         b, hgt, wdt, c = x_slot.shape
         seq = x_slot.reshape(b * hgt * wdt, 1, c)
         h = self.ln_1(seq)
         qh = self.attn.q_proj(h)
-        kh, vh = self.attn.project_kv(h)
-        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, kh, pos, axis=1)
-        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, vh, pos, axis=1)
-        length = cache_k.shape[1]
+        kh, vh = self.attn.project_kv(h)  # (N, 1, heads, hd)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(
+            cache_k, jnp.swapaxes(kh, 0, 1), pos, axis=0
+        )
+        cache_v = jax.lax.dynamic_update_slice_in_dim(
+            cache_v, jnp.swapaxes(vh, 0, 1), pos, axis=0
+        )
+        length = cache_k.shape[0]
         # causal: only positions <= pos are valid keys
         bias = jnp.where(jnp.arange(length)[None, :] <= pos, 0.0, NEG_INF)
-        attn_out = self.attn.attend(qh, cache_k, cache_v, bias=bias, train=False)
+        attn_out = self.attn.attend(
+            qh,
+            jnp.swapaxes(cache_k, 0, 1),
+            jnp.swapaxes(cache_v, 0, 1),
+            bias=bias,
+            train=False,
+        )
         seq = seq + attn_out
         seq = seq + self.mlp(self.ln_2(seq))
         return seq.reshape(b, hgt, wdt, c), cache_k, cache_v

@@ -30,6 +30,7 @@ def parse_args(argv=None):
     p.add_argument("--test_model", type=str, default="",
                    help="checkpoint dir (containing config.yaml) or name for sampling")
     p.add_argument("--max-test-items", type=int, default=-1)
+    p.add_argument("--sample-batch-size", type=int, default=1)
     p.add_argument("--save-gifs", action="store_true", default=True)
     p.add_argument("--multihost", action="store_true")
     return p.parse_args(argv)
@@ -73,10 +74,16 @@ def train(opt):
 
     first = next(iter(train_loader))
     trainer.init_state({k: v for k, v in first.items() if k != "video_id"})
+    start_epoch = 0
     if opt.resume:
         trainer.resume(opt.resume)
-        print(f"=> resumed from '{opt.resume}' at iteration {trainer.iteration}")
-    trainer.fit(train_loader, test_loader)
+        # resume the LR schedule from the epoch the iteration count implies
+        start_epoch = trainer.iteration // max(len(train_loader), 1)
+        print(
+            f"=> resumed from '{opt.resume}' at iteration {trainer.iteration}"
+            f" (epoch {start_epoch})"
+        )
+    trainer.fit(train_loader, test_loader, start_epoch=start_epoch)
 
 
 def sampling(opt):
@@ -98,7 +105,10 @@ def sampling(opt):
     params = restored["params"]
     print(f"=> loaded checkpoint '{test_model}'")
 
-    loader = Loader(test_dataset, 1, shuffle=True, seed=opt.seed)
+    # reference sampling uses batch 1 (main_mage.py:205); larger batches
+    # amortize the AR loop across the chip (see BENCH_NOTES.md)
+    bs = max(1, opt.sample_batch_size)
+    loader = Loader(test_dataset, bs, shuffle=True, seed=opt.seed, drop_last=bs > 1)
 
     import jax.numpy as jnp
 
@@ -108,21 +118,27 @@ def sampling(opt):
     )
     rng = jax.random.PRNGKey(opt.seed)
     out_dir = os.path.join(ckpt_dir, "videos")
-    for idx, batch in enumerate(loader):
-        if 0 <= opt.max_test_items <= idx:
+    done = 0
+    for batch in loader:
+        if 0 <= opt.max_test_items <= done:
             break
-        video_id = batch.pop("video_id", [f"sample_{idx}"])[0]
+        video_ids = batch.pop("video_id", [f"sample_{done + i}" for i in range(bs)])
         batch = {k: jnp.asarray(np.asarray(v)) for k, v in batch.items()}
         for s in range(opt.n_samples):
             rng, step_rng = jax.random.split(rng)
-            video = np.asarray(gen(params, batch, step_rng))
-            video = np.clip(video, -1.0, 1.0)
+            videos = np.asarray(gen(params, batch, step_rng), np.float32)
+            videos = np.clip(videos, -1.0, 1.0)
             if opt.save_gifs:
-                name = f"{os.path.splitext(video_id)[0]}-{float(batch['speed'][0]):.4f}"
-                if opt.n_samples > 1:
-                    name += f"-s{s}"
-                save_gif(video[0], os.path.join(out_dir, name + ".gif"), fps=3)
-        print(idx)
+                for i, video_id in enumerate(video_ids):
+                    name = (
+                        f"{os.path.splitext(video_id)[0]}-"
+                        f"{float(batch['speed'][i]):.4f}"
+                    )
+                    if opt.n_samples > 1:
+                        name += f"-s{s}"
+                    save_gif(videos[i], os.path.join(out_dir, name + ".gif"), fps=3)
+        done += len(video_ids)
+        print(done)
 
 
 def main(argv=None):
