@@ -19,6 +19,8 @@ Loop parity with reference main_mage.py:58-199:
 from __future__ import annotations
 
 import functools
+import json
+import os
 from typing import Any, Optional
 
 import flax.struct
@@ -155,6 +157,27 @@ class MageTrainer:
         restored = self.ckpt.restore(name_or_path, self.state)
         self.state = jax.device_put(restored, replicated_sharding(self.mesh))
         self.iteration = int(self.state.step)
+        # host-side state (PID controller, beta, best loss) travels in a
+        # sidecar json so auto-beta resumes where it left off
+        sidecar = os.path.join(self.ckpt.directory, "trainer_state.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as fp:
+                host = json.load(fp)
+            self.best_loss = host.get("best_loss", self.best_loss)
+            self.beta = host.get("beta", self.beta)
+            if self.pid is not None and "pid" in host:
+                self.pid.i_k1 = host["pid"]["i_k1"]
+                self.pid.w_k1 = host["pid"]["w_k1"]
+                self.pid.e_k1 = host["pid"]["e_k1"]
+
+    def _save_host_state(self) -> None:
+        host = {"iteration": self.iteration, "best_loss": self.best_loss,
+                "beta": self.beta}
+        if self.pid is not None:
+            host["pid"] = {"i_k1": self.pid.i_k1, "w_k1": self.pid.w_k1,
+                           "e_k1": self.pid.e_k1}
+        with open(os.path.join(self.ckpt.directory, "trainer_state.json"), "w") as fp:
+            json.dump(host, fp)
 
     def _prep(self, batch: dict) -> dict:
         batch = {k: v for k, v in batch.items() if k != "video_id"}
@@ -238,4 +261,5 @@ class MageTrainer:
         if test_loss < self.best_loss:
             self.best_loss = test_loss
             self.ckpt.save("model_best", host_state)
+        self._save_host_state()
         return test_loss
