@@ -26,10 +26,23 @@ class Checkpointer:
         return os.path.join(self.directory, name)
 
     def save(self, name: str, tree: Any) -> str:
-        p = self.path(name)
-        self._ckptr.save(p, tree, force=True)
+        """Atomic-swap save: write to a temp dir, then rename into place.
+        In-place force-overwrites let concurrent readers (e.g. a sampling
+        job reading model_best during training) observe truncated files."""
+        import shutil
+
+        final = self.path(name)
+        tmp = final + ".tmp"
+        backup = final + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._ckptr.save(tmp, tree, force=True)
         self._ckptr.wait_until_finished()
-        return p
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.isdir(final):
+            os.rename(final, backup)
+        os.rename(tmp, final)
+        shutil.rmtree(backup, ignore_errors=True)
+        return final
 
     def restore(self, name_or_path: str, template: Optional[Any] = None) -> Any:
         p = (
