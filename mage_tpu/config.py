@@ -116,13 +116,38 @@ def save_config(cfg: Mapping, path: str | os.PathLike) -> None:
         yaml.safe_dump(_unwrap(cfg), fp, sort_keys=False)
 
 
+# Reference-repo class paths -> mage_tpu equivalents, so the reference's
+# YAML configs work unmodified (reference config/*.yaml name torch classes,
+# e.g. config/mage_caterv1.yaml:10,24,37,44).
+REFERENCE_TARGET_ALIASES = {
+    "modules.vqvae_model.VectorQuantizedVAE": "mage_tpu.models.vqvae.VectorQuantizedVAE",
+    "modules.mage_model.MAGE": "mage_tpu.models.pipeline.MagePipeline",
+    "modules.mage_model.TransformerTextEncoder": "mage_tpu.models.layers.TransformerTextEncoder",
+    "modules.mage_model.BertTextualHead": "mage_tpu.models.text_heads.BertTextualHead",
+    "modules.mage_model.MAEncoder": "mage_tpu.models.layers.MAEncoder",
+    "modules.mage_model.FlatAxialDecoder": "mage_tpu.models.mage.FlatAxialDecoder",
+    "ldm.models.autoencoder.AutoencoderKL": "mage_tpu.models.autoencoder_kl.AutoencoderKL",
+}
+
+
 def get_obj_from_str(string: str):
     """Resolve ``"module.sub.Class"`` to the class/function object.
 
-    (Reference: utils/util.py:57-63.)
+    Reference-repo class paths are transparently aliased to their mage_tpu
+    equivalents (REFERENCE_TARGET_ALIASES). (Reference: utils/util.py:57-63.)
     """
+    string = REFERENCE_TARGET_ALIASES.get(string, string)
     module, cls = string.rsplit(".", 1)
     return getattr(importlib.import_module(module), cls)
+
+
+def resolve_target(config: Optional[Mapping], default=None):
+    """Class named by ``config['target']`` (alias-resolved), or ``default``
+    when the config carries no target (reference mage_model.py:474-477
+    instantiates every sub-component from its ``target``)."""
+    if isinstance(config, Mapping) and config.get("target"):
+        return get_obj_from_str(str(config["target"]))
+    return default
 
 
 def instantiate_from_config(config: Mapping, merge: Optional[Mapping] = None):

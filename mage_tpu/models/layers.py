@@ -141,8 +141,8 @@ class AxialAttentionBlock(nn.Module):
             self.d_model, self.n_head,
             kernel_init=self.attn_init, out_init=self.proj_init,
         )
-        self.ln_1 = nn.LayerNorm()
-        self.ln_2 = nn.LayerNorm()
+        self.ln_1 = nn.LayerNorm(epsilon=1e-5)
+        self.ln_2 = nn.LayerNorm(epsilon=1e-5)
         self.mlp = MLP(self.d_model, fc_init=self.fc_init, proj_init=self.proj_init)
         self.resid_dropout = nn.Dropout(self.dropout)
 
@@ -239,14 +239,14 @@ class CrossAttentionBlock(nn.Module):
         attn = MultiHeadAttention(self.d_model, self.n_head, name="attn")
         drop = nn.Dropout(self.dropout, deterministic=not train)
         if self.pre_ln:
-            ln_q = nn.LayerNorm(name="ln_q")
-            ln_kv = nn.LayerNorm(name="ln_kv")
+            ln_q = nn.LayerNorm(epsilon=1e-5, name="ln_q")
+            ln_kv = nn.LayerNorm(epsilon=1e-5, name="ln_kv")
             x = q + drop(
                 attn(ln_q(q), ln_kv(k), ln_kv(v), key_padding_mask=key_padding_mask, train=train)
             )
         else:
             x = q + drop(attn(q, k, v, train=train))
-        x = x + drop(MLP(self.d_model, name="mlp")(nn.LayerNorm(name="ln_2")(x)))
+        x = x + drop(MLP(self.d_model, name="mlp")(nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)))
         return x
 
 
@@ -287,11 +287,11 @@ class _TorchStyleEncoderLayer(nn.Module):
         h = MultiHeadAttention(
             self.width, self.n_head, attn_dropout=self.dropout, name="self_attn"
         )(x, x, x, key_padding_mask=key_padding_mask, train=train)
-        x = nn.LayerNorm(name="norm1")(x + drop(h))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + drop(h))
         h = nn.Dense(self.width * 4, kernel_init=nn.initializers.normal(0.02), name="linear1")(x)
         h = drop(jax.nn.gelu(h, approximate=False))
         h = nn.Dense(self.width, kernel_init=nn.initializers.normal(0.02), name="linear2")(h)
-        return nn.LayerNorm(name="norm2")(x + drop(h))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + drop(h))
 
 
 class TransformerTextEncoder(nn.Module):
@@ -336,7 +336,7 @@ class TransformerTextEncoder(nn.Module):
                 self.dropout,
                 name=f"layer_{i}",
             )(x, key_padding_mask=caption_mask, train=train)
-        x = nn.LayerNorm(name="ln_text_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_text_final")(x)
         return nn.Dense(
             self.output_dim, kernel_init=emb_init, name="text_projection"
         )(x)
@@ -370,19 +370,19 @@ class BasicBlock3D(nn.Module):
             self.out_planes, (3, 3, 3), strides=strides, padding=1, use_bias=False,
             kernel_init=kaiming, name="conv1",
         ))(x)
-        h = nn.GroupNorm(num_groups=16, name="bn1")(h)
+        h = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="bn1")(h)
         h = nn.relu(h)
         h = wrap(nn.Conv(
             self.out_planes, (3, 3, 3), padding=1, use_bias=False,
             kernel_init=kaiming, name="conv2",
         ))(h)
-        h = nn.GroupNorm(num_groups=16, name="bn2")(h)
+        h = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="bn2")(h)
         if self.downsample:
             residual = nn.Conv(
                 self.out_planes, (3, 3, 3), strides=strides, padding=1,
                 use_bias=False, kernel_init=kaiming, name="downsample_conv",
             )(x)
-            residual = nn.GroupNorm(num_groups=16, name="downsample_norm")(residual)
+            residual = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="downsample_norm")(residual)
         return nn.relu(h + residual)
 
 

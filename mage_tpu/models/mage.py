@@ -19,7 +19,7 @@ over explicit latents:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Mapping, Optional
 
 import flax.linen as nn
 import jax
@@ -39,6 +39,45 @@ def causal_temporal_bias(length: int, dtype=jnp.float32) -> jax.Array:
     """Additive lower-triangular mask (reference build_casual_attention_mask,
     mage_model.py:367-372)."""
     return jnp.triu(jnp.full((length, length), NEG_INF, dtype), k=1)
+
+
+class CausalizableGroupNorm(nn.Module):
+    """GroupNorm over all non-batch dims (torch ``nn.GroupNorm`` semantics,
+    the reference continuous head's norm, mage_model.py:350-354), with an
+    extra entry point that normalizes using externally supplied statistics.
+
+    Same parameter tree as ``nn.GroupNorm`` ({scale, bias}), so torch
+    checkpoint import is unchanged. The external-stats path powers the O(L)
+    cached sampler: statistics are accumulated *causally* over the slots
+    generated so far instead of over the full buffer (see
+    ``MAGECore.generate_cached`` for the analysis)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mean=None, var=None):
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xg = x.reshape(x.shape[0], -1, g, c // g)
+        if mean is None:
+            mean = jnp.mean(xg, axis=(1, 3))  # (B, groups)
+            var = jnp.var(xg, axis=(1, 3))
+        xn = (xg - mean[:, None, :, None]) * jax.lax.rsqrt(
+            var[:, None, :, None] + self.epsilon
+        )
+        return xn.reshape(x.shape) * scale + bias
+
+
+def group_moments(x: jax.Array, num_groups: int):
+    """Per-(batch, group) element count / sum / sum-of-squares of one slot
+    (B, h, w, C) — the accumulable sufficient statistics for GroupNorm."""
+    b, c = x.shape[0], x.shape[-1]
+    xg = x.reshape(b, -1, num_groups, c // num_groups)
+    n = xg.shape[1] * xg.shape[3]
+    return n, jnp.sum(xg, axis=(1, 3)), jnp.sum(xg**2, axis=(1, 3))
 
 
 class FlatAxialDecoder(nn.Module):
@@ -86,7 +125,7 @@ class FlatAxialDecoder(nn.Module):
         if self.use_cids:
             self.out = nn.Dense(self.out_channels)
         else:
-            self.out_norm = nn.GroupNorm(num_groups=32)
+            self.out_norm = CausalizableGroupNorm(num_groups=32, epsilon=1e-5)
             # zero-init 1x1x1 conv3d head (reference zero_module, :350-354)
             self.out_conv = nn.Dense(
                 self.out_channels, kernel_init=nn.initializers.zeros
@@ -131,7 +170,10 @@ class FlatAxialDecoder(nn.Module):
     def decode_slot(self, slot: jax.Array, pos, cache: dict, is_anchor: bool = False):
         """Process ONE temporal slot (B, h, w, C_in/C_ctx) through all
         layers, reading/extending the temporal KV caches at ``pos``.
-        Returns (head output or None, new cache)."""
+        Returns (trunk output (B, h, w, model_channels), new cache) — the
+        head is applied by the caller (``head_slot`` / ``head_causal``),
+        because for the continuous head its GroupNorm statistics are
+        accumulated across slots."""
         x = self.context_linear(slot) if is_anchor else self.in_linear(slot)
         x = x + jax.lax.dynamic_index_in_dim(
             self.T_positional_embedding, pos, axis=0, keepdims=False
@@ -144,7 +186,38 @@ class FlatAxialDecoder(nn.Module):
                 new_cache[f"layer_{i}"] = (k, v)
             else:
                 x = block.single_slot_spatial(x, train=False)
-        return self.head(x[:, None])[:, 0], new_cache
+        return x, new_cache
+
+    def head_slot(self, x: jax.Array) -> jax.Array:
+        """Discrete head on one trunk slot (B, h, w, mc) -> logits."""
+        assert self.use_cids
+        return self.out(x)
+
+    def init_gn_state(self, batch: int, dtype=jnp.float32):
+        """Zero accumulators (count, sum, sumsq) per (batch, group) for the
+        causal GroupNorm statistics of the continuous head."""
+        g = 32
+        return (
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((batch, g), dtype),
+            jnp.zeros((batch, g), dtype),
+        )
+
+    def head_causal(self, x: jax.Array, gn_state):
+        """Continuous head on one trunk slot with GroupNorm statistics over
+        all *valid* slots generated so far (this one included). Returns
+        (latents (B, h, w, out_channels), new gn_state)."""
+        assert not self.use_cids
+        count, s, ss = gn_state
+        n, s1, ss1 = group_moments(x, 32)
+        count = count + n
+        s = s + s1
+        ss = ss + ss1
+        denom = count.astype(x.dtype)
+        mean = s / denom
+        var = ss / denom - mean**2
+        h = self.out_norm(x, mean=mean, var=var)
+        return self.out_conv(nn.silu(h)), (count, s, ss)
 
 
 class MAGECore(nn.Module):
@@ -174,6 +247,17 @@ class MAGECore(nn.Module):
     # generator
     dec_layers: int = 6
     dec_out_channels: int = 512
+    # config-driven class overrides (reference instantiates every
+    # sub-component from its config ``target``, mage_model.py:474-477).
+    # When a *_cls is set, it is constructed with the matching *_params dict
+    # (plus the same runtime injections the reference merges in) instead of
+    # the built-in default class.
+    text_encoder_cls: Optional[type] = None
+    text_encoder_params: Optional[Mapping[str, Any]] = None
+    ma_cls: Optional[type] = None
+    ma_params: Optional[Mapping[str, Any]] = None
+    decoder_cls: Optional[type] = None
+    decoder_params: Optional[Mapping[str, Any]] = None
 
     def setup(self):
         w = self.vision_width
@@ -200,31 +284,55 @@ class MAGECore(nn.Module):
             "W_positional_embedding",
             lambda rng: scale * jax.random.normal(rng, (1, r, w)),
         )
-        self.text_encoder = TransformerTextEncoder(
-            vocab_size=self.text_vocab_size,
-            transformer_width=self.text_width,
-            transformer_layers=self.text_layers,
-            output_dim=self.text_output_dim,
-            context_length=self.text_context_length,
-            padding_idx=self.text_padding_idx,
-            dropout=self.text_dropout,
-        )
-        self.ma_encoder = MAEncoder(
-            layers=self.ma_layers,
-            d_model=self.ma_d_model,
-            dropout=self.dropout,
-            pre_ln=self.pre_ln,
-        )
-        self.generate_model = FlatAxialDecoder(
-            in_channels=w,
-            model_channels=self.ma_d_model,
-            out_channels=self.dec_out_channels,
-            frames_length=self.frames_length,
-            layers=self.dec_layers,
-            context_channels=self.ma_d_model,
-            use_cids=self.use_cids,
-            dropout=self.dropout,
-        )
+        if self.text_encoder_cls is not None:
+            self.text_encoder = self.text_encoder_cls(
+                **dict(self.text_encoder_params or {})
+            )
+        else:
+            self.text_encoder = TransformerTextEncoder(
+                vocab_size=self.text_vocab_size,
+                transformer_width=self.text_width,
+                transformer_layers=self.text_layers,
+                output_dim=self.text_output_dim,
+                context_length=self.text_context_length,
+                padding_idx=self.text_padding_idx,
+                dropout=self.text_dropout,
+            )
+        if self.ma_cls is not None:
+            # runtime injection parity: reference merges {'dropout'} into
+            # the MA config (mage_model.py:475)
+            self.ma_encoder = self.ma_cls(
+                **{"dropout": self.dropout, **dict(self.ma_params or {})}
+            )
+        else:
+            self.ma_encoder = MAEncoder(
+                layers=self.ma_layers,
+                d_model=self.ma_d_model,
+                dropout=self.dropout,
+                pre_ln=self.pre_ln,
+            )
+        if self.decoder_cls is not None:
+            # reference merges {'use_cids', 'dropout', 'context_channels'}
+            # into the decoder config (mage_model.py:476-477)
+            self.generate_model = self.decoder_cls(
+                **{
+                    "use_cids": self.use_cids,
+                    "dropout": self.dropout,
+                    "context_channels": self.ma_d_model,
+                    **dict(self.decoder_params or {}),
+                }
+            )
+        else:
+            self.generate_model = FlatAxialDecoder(
+                in_channels=w,
+                model_channels=self.ma_d_model,
+                out_channels=self.dec_out_channels,
+                frames_length=self.frames_length,
+                layers=self.dec_layers,
+                context_channels=self.ma_d_model,
+                use_cids=self.use_cids,
+                dropout=self.dropout,
+            )
         if self.randomness:
             self.conv3d = [
                 BasicBlock3D(w, stride=1, stride_t=2, downsample=True),
@@ -429,12 +537,26 @@ class MAGECore(nn.Module):
         passes instead of the reference's O(L^2) full passes
         (mage_model.py:673-677) — exact for discrete ids because every
         layer is per-slot except the causally-masked temporal attention,
-        which the cache reproduces exactly.
+        which the cache reproduces exactly
+        (proved against the actual reference loop in
+        tests/test_reference_parity.py::test_mage_discrete_full_parity).
 
-        For the continuous (MAGE+) head the reference's GroupNorm
-        normalizes across all L-1 slots including the stale future buffer
-        (:350-354,384-389); this fast path uses per-slot statistics — use
-        ``generate`` for bit-parity with the reference loop there.
+        Continuous (MAGE+) head: the reference's GroupNorm normalizes over
+        all L-1 buffer slots each iteration (:350-354,384-389), *including
+        stale future slots* still holding the first-frame embedding. Those
+        stale slots' trunk outputs change every iteration (slot j attends
+        over keys 0..j, and keys flip from stale to real as generation
+        advances), so slot i's reference output depends on
+        iteration-varying statistics of the not-yet-generated region — an
+        exact sampler therefore must recompute the stale tail every step and
+        is inherently O(L^2); use ``generate`` for bit-parity. This fast
+        path instead accumulates GroupNorm statistics causally over the
+        *valid* slots generated so far — which is also *closer to training
+        semantics* than the reference loop (teacher-forced training
+        normalizes over L-1 all-real slots; there are no stale slots), and
+        converges to exactly the all-real statistics at the final slot. For
+        frames_length == 2 (a single generated slot) the two samplers are
+        identical (tested in tests/test_mage_model.py).
         """
         x_emb0, anchor = self._prepare_generation(latents0, text, speed, video_noise)
         b, _, h, w, c = x_emb0.shape
@@ -443,21 +565,24 @@ class MAGECore(nn.Module):
         cache = decoder.init_cache(b, h, w, x_emb0.dtype)
         _, cache = decoder.decode_slot(anchor, jnp.int32(0), cache, is_anchor=True)
         slot1 = self.stem(x_emb0)[:, 0]  # embedding of frame 0 at slot 1
+        gn_state = decoder.init_gn_state(b, x_emb0.dtype) if not self.use_cids else ()
 
         def step(carry, pos):
-            slot_in, cache = carry
-            pred, cache = decoder.decode_slot(slot_in, pos, cache)
+            slot_in, cache, gn_state = carry
+            trunk, cache = decoder.decode_slot(slot_in, pos, cache)
             if self.use_cids:
+                pred = decoder.head_slot(trunk)
                 frame = jnp.argmax(pred, axis=-1).astype(jnp.int32)  # (B, h, w)
-                next_emb = self.embed_latents(frame)
             else:
-                frame = pred
-                next_emb = self.embed_latents(frame)
+                frame, gn_state = decoder.head_causal(trunk, gn_state)
+            next_emb = self.embed_latents(frame)
             next_slot = self.stem(next_emb[:, None])[:, 0]
-            return (next_slot, cache), frame
+            return (next_slot, cache, gn_state), frame
 
         _, frames = jax.lax.scan(
-            step, (slot1, cache), jnp.arange(1, self.frames_length, dtype=jnp.int32)
+            step,
+            (slot1, cache, gn_state),
+            jnp.arange(1, self.frames_length, dtype=jnp.int32),
         )
         # (L-1, B, ...) -> (B, L-1, ...)
         return jnp.moveaxis(frames, 0, 1)

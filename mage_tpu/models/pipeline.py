@@ -21,7 +21,7 @@ from typing import Any, Mapping, Optional
 import jax
 import jax.numpy as jnp
 
-from mage_tpu.models.mage import MAGECore
+from mage_tpu.models.mage import FlatAxialDecoder, MAGECore
 from mage_tpu.models.vqvae import VectorQuantizedVAE
 
 
@@ -153,23 +153,47 @@ class MagePipeline:
         self.auto_beta = auto_beta
         self.frames_length = frames_length
 
-        fs_target = str(first_stage_config.get("target", ""))
-        fs_params = first_stage_config.get("params", {})
-        if "AutoencoderKL" in fs_target:
-            from mage_tpu.models.autoencoder_kl import FirstStageKL
+        from mage_tpu.config import resolve_target
+        from mage_tpu.models.autoencoder_kl import AutoencoderKL, FirstStageKL
+        from mage_tpu.models.layers import MAEncoder, TransformerTextEncoder
 
+        # every sub-component class comes from its config ``target``
+        # (reference instantiate_from_config at mage_model.py:474-477;
+        # reference class paths are alias-resolved to mage_tpu classes)
+        fs_cls = resolve_target(first_stage_config, VectorQuantizedVAE)
+        fs_params = first_stage_config.get("params", {})
+        if fs_cls is AutoencoderKL:
             self.first_stage = FirstStageKL.from_config(
                 fs_params, variables=first_stage_variables
             )
-        else:
+        elif fs_cls is VectorQuantizedVAE:
             self.first_stage = FirstStageVQVAE.from_config(
                 fs_params, variables=first_stage_variables
             )
+        else:  # custom first stages opt in via a classmethod hook
+            self.first_stage = fs_cls.as_first_stage(
+                fs_params, variables=first_stage_variables
+            )
+
+        te_cls = resolve_target(text_encoder_config, TransformerTextEncoder)
+        ma_cls = resolve_target(ma_config, MAEncoder)
+        dec_cls = resolve_target(generate_decoder_config, FlatAxialDecoder)
 
         te = dict(text_encoder_config.get("params", {}))
         ma = dict(ma_config.get("params", {}))
         dec = dict(generate_decoder_config.get("params", {}))
+        overrides = {}
+        if te_cls is not TransformerTextEncoder:
+            overrides["text_encoder_cls"] = te_cls
+            overrides["text_encoder_params"] = te
+        if ma_cls is not MAEncoder:
+            overrides["ma_cls"] = ma_cls
+            overrides["ma_params"] = ma
+        if dec_cls is not FlatAxialDecoder:
+            overrides["decoder_cls"] = dec_cls
+            overrides["decoder_params"] = dec
         self.core = MAGECore(
+            **overrides,
             codebook_size=codebook_size,
             frames_length=frames_length,
             image_resolution=image_resolution,

@@ -1,45 +1,73 @@
-"""Optional pretrained-BERT text head.
+"""Pretrained-BERT text head (flax module, config-reachable).
 
 Capability parity with the reference's ``BertTextualHead``
-(modules/mage_model.py:125-178): a pretrained BERT encoder whose final
-hidden states are projected to the MA-encoder width by a learned matrix
-(``text_projection_key``, :152). No shipped reference config uses it (all
-use TransformerTextEncoder — SURVEY.md §2.2), and it requires local
-pretrained weights (zero-egress environments cannot download), so the
-import is deferred and gated.
+(modules/mage_model.py:125-178): a BERT encoder whose final hidden states
+are projected to the MA-encoder width by a learned ``text_projection_key``
+matrix (:152,176). Differences from the reference, by design:
+
+- It is a real flax module, so the BERT weights live inside the MAGECore
+  parameter tree and train with everything else (the reference trains the
+  whole BERT too, :141).
+- ``bert_path`` loads a local pretrained config (+ optionally weights via
+  :func:`load_pretrained_bert_params`); ``bert_config`` builds an
+  offline/random BERT from explicit hyperparameters — zero-egress
+  environments cannot download ``bert-base-uncased``.
+
+Selected from YAML via ``text_encoder_config.target:
+modules.mage_model.BertTextualHead`` (alias) or
+``mage_tpu.models.text_heads.BertTextualHead``.
 """
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any, Mapping, Optional
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 
-class BertTextualHead:
-    """Wraps HF FlaxBertModel + a projection. Usage:
+class BertTextualHead(nn.Module):
+    """BERT encoder + linear projection to ``out_dim``.
 
-        head = BertTextualHead(bert_path, out_dim)
-        params = head.init(rng)                  # projection only
-        emb = head.apply(params, token_ids)      # (B, S, out_dim)
+    ``__call__(text, train)`` -> (B, S, out_dim), the same contract as
+    :class:`mage_tpu.models.layers.TransformerTextEncoder`.
     """
 
-    def __init__(self, bert_path: str, out_dim: int):
-        from transformers import FlaxBertModel
+    out_dim: int
+    bert_path: Optional[str] = None
+    bert_config: Optional[Mapping[str, Any]] = None
 
-        self.model = FlaxBertModel.from_pretrained(bert_path)
-        self.hidden_size = self.model.config.hidden_size
-        self.out_dim = out_dim
-        self.padding_idx = self.model.config.pad_token_id
+    def setup(self):
+        from transformers import BertConfig
+        from transformers.models.bert.modeling_flax_bert import FlaxBertModule
 
-    def init(self, rng: jax.Array) -> Mapping[str, Any]:
-        scale = self.hidden_size**-0.5
-        return {
-            "text_projection_key": scale
-            * jax.random.normal(rng, (self.hidden_size, self.out_dim))
-        }
+        if self.bert_path:
+            config = BertConfig.from_pretrained(self.bert_path)
+        else:
+            config = BertConfig(**dict(self.bert_config or {}))
+        self.config = config
+        self.padding_idx = config.pad_token_id
+        self.bert = FlaxBertModule(config=config, name="bert")
+        scale = config.hidden_size**-0.5
+        self.text_projection_key = self.param(
+            "text_projection_key",
+            lambda rng: scale * jax.random.normal(rng, (config.hidden_size, self.out_dim)),
+        )
 
-    def apply(self, params: Mapping[str, Any], caption_tokens: jax.Array) -> jax.Array:
-        hidden = self.model(jnp.asarray(caption_tokens)).last_hidden_state
-        return hidden @ params["text_projection_key"]
+    def __call__(self, text: jax.Array, train: bool = True) -> jax.Array:
+        text = text.astype(jnp.int32)
+        attention_mask = (text != self.padding_idx).astype(jnp.int32)
+        out = self.bert(text, attention_mask, deterministic=not train)
+        return out.last_hidden_state @ self.text_projection_key
+
+
+def load_pretrained_bert_params(bert_path: str) -> Mapping[str, Any]:
+    """Load local pretrained BERT weights as a flax param tree suitable for
+    grafting under ``params['text_encoder']['bert']``. Requires the
+    pretrained files on disk (this image has none — the reference downloads
+    ``bert_path`` from the hub at :136-139)."""
+    from transformers import FlaxBertModel
+
+    model = FlaxBertModel.from_pretrained(bert_path)
+    return model.params

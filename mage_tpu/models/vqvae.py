@@ -41,19 +41,24 @@ _conv_init = nn.initializers.xavier_uniform()
 
 class ResBlock(nn.Module):
     """ReLU -> 3x3 conv -> BN -> ReLU -> 1x1 conv -> BN, residual
-    (reference vqvae_model.py:111-124)."""
+    (reference vqvae_model.py:111-124).
+
+    The residual branch is ``relu(x)``, not ``x``: the reference's
+    ``block`` starts with ``nn.ReLU(inplace=True)``, which mutates the
+    tensor that ``x + self.block(x)`` then adds (vqvae_model.py:115,123) —
+    verified numerically in tests/test_reference_parity.py."""
 
     dim: int
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        h = nn.relu(x)
-        h = nn.Conv(self.dim, (3, 3), padding=1, kernel_init=_conv_init)(h)
+        xr = nn.relu(x)
+        h = nn.Conv(self.dim, (3, 3), padding=1, kernel_init=_conv_init)(xr)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         h = nn.relu(h)
         h = nn.Conv(self.dim, (1, 1), kernel_init=_conv_init)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
-        return x + h
+        return xr + h
 
 
 class EncoderBlock(nn.Module):

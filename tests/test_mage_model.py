@@ -181,8 +181,10 @@ def test_generate_matches_naive_reference_loop(use_cids):
 @pytest.mark.parametrize("use_cids", [True, False])
 def test_generate_cached_matches_naive(use_cids):
     """The KV-cached O(L) sampler must reproduce the naive loop exactly for
-    discrete ids. (The continuous head differs by design: per-slot vs
-    cross-slot GroupNorm statistics — see MAGECore.generate_cached.)"""
+    discrete ids. (The continuous head differs by design at L > 2: causal
+    valid-slot vs full-buffer GroupNorm statistics — see
+    MAGECore.generate_cached; the L == 2 case below proves exactness of the
+    shared machinery.)"""
     core = _core(use_cids=use_cids, randomness=True)
     latents, text, speed = _batch(use_cids)
     variables = _init(core, latents, text, speed)
@@ -201,5 +203,56 @@ def test_generate_cached_matches_naive(use_cids):
     if use_cids:
         np.testing.assert_array_equal(np.asarray(cached), np.asarray(naive))
     else:
-        # finite + same scale, but not identical (GroupNorm statistics)
+        # not bit-identical for L > 2: the reference loop's GroupNorm sees
+        # stale future slots, the cached sampler only valid ones. Same
+        # trunk, same scale — outputs must stay close on random weights.
         assert np.isfinite(np.asarray(cached)).all()
+        n, c = np.asarray(naive), np.asarray(cached)
+        denom = max(float(np.abs(n).max()), 1e-6)
+        assert float(np.abs(n - c).max()) / denom < 0.5
+
+
+def test_generate_cached_continuous_exact_single_step():
+    """With frames_length == 2 there is exactly one generated slot, so the
+    reference loop's GroupNorm statistics cover only valid slots — the
+    cached sampler must then equal the naive loop bit-for-bit, proving the
+    incremental trunk + causal-GroupNorm head are exact and the *only*
+    divergence at L > 2 is the stale-slot statistics scope."""
+    core = MAGECore(
+        codebook_size=K, frames_length=2, image_resolution=R,
+        vision_width=W_VIS, embed_dim=4, dropout=0.1, use_cids=False,
+        randomness=True, text_vocab_size=30, text_context_length=12,
+        text_width=W_VIS, text_layers=1, text_output_dim=W_VIS, ma_layers=1,
+        ma_d_model=W_VIS, dec_layers=3, dec_out_channels=4,
+    )
+    rng = np.random.RandomState(3)
+    latents = jnp.asarray(rng.randn(2, 2, R, R, 4).astype(np.float32))
+    text = jnp.asarray(
+        np.concatenate(
+            [np.full((2, 1), 1), rng.randint(3, 29, size=(2, 3)),
+             np.full((2, 1), 2), np.zeros((2, 7))], axis=1
+        ).astype(np.int32)
+    )
+    speed = jnp.asarray(rng.rand(2).astype(np.float32))
+    variables = _init(core, latents, text, speed)
+    # randomize the zero-init continuous head so the comparison is non-trivial
+    params = jax.device_get(variables["params"])
+    params["generate_model"]["out_conv"]["kernel"] = (
+        rng.randn(*params["generate_model"]["out_conv"]["kernel"].shape)
+        .astype(np.float32) * 0.2
+    )
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    noise = jax.random.normal(jax.random.PRNGKey(7), (2, R, R, 64))
+
+    naive = core.apply(
+        variables, latents[:, :1], text, speed, video_noise=noise,
+        method="generate", rngs={"latent": jax.random.PRNGKey(8)},
+    )
+    cached = core.apply(
+        variables, latents[:, :1], text, speed, video_noise=noise,
+        method="generate_cached", rngs={"latent": jax.random.PRNGKey(8)},
+    )
+    assert not np.allclose(np.asarray(naive), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(cached), np.asarray(naive), rtol=1e-5, atol=1e-6
+    )

@@ -218,3 +218,50 @@ def test_chunked_frames_matches_single_shot():
     np.testing.assert_allclose(
         np.asarray(_chunked_frames(fn, y, max_chunk=4)), np.asarray(fn(y))
     )
+
+
+def test_nested_targets_select_classes():
+    """Nested ``target:`` fields drive class selection (reference
+    mage_model.py:474-477): reference class paths are alias-resolved, and a
+    non-default text encoder (BertTextualHead with a tiny offline BERT) is
+    reachable from YAML alone."""
+    from mage_tpu.models.text_heads import BertTextualHead
+
+    cfg = loads_config(
+        TINY_CFG.format(randomness="false", auto_beta="false")
+    ).model
+    # reference-repo class names must resolve to our classes
+    cfg.params.first_stage_config.target = "modules.vqvae_model.VectorQuantizedVAE"
+    cfg.params.ma_config.target = "modules.mage_model.MAEncoder"
+    cfg.params.generate_decoder_config.target = "modules.mage_model.FlatAxialDecoder"
+    # swap in the BERT head purely via config
+    cfg.params.text_encoder_config = {
+        "target": "modules.mage_model.BertTextualHead",
+        "params": {
+            "out_dim": 64,
+            "bert_config": {
+                "vocab_size": 30,
+                "hidden_size": 32,
+                "num_hidden_layers": 1,
+                "num_attention_heads": 2,
+                "intermediate_size": 64,
+                "max_position_embeddings": 16,
+                "pad_token_id": 0,
+            },
+        },
+    }
+    pipeline = instantiate_from_config(cfg)
+    assert isinstance(pipeline.core.text_encoder_cls, type)
+    assert pipeline.core.text_encoder_cls is BertTextualHead
+
+    batch = {
+        "images": np.random.RandomState(0).rand(2, 5, 32, 32, 1).astype(np.float32) - 0.5,
+        "text": np.array([[1, 5, 7, 2] + [0] * 8, [1, 9, 3, 2] + [0] * 8], np.int32),
+        "speed": np.array([0.2, 0.7], np.float32),
+    }
+    params = pipeline.init(jax.random.PRNGKey(0), batch)
+    assert "bert" in params["text_encoder"]
+    terms = pipeline.loss_terms(
+        params, batch, jax.random.PRNGKey(1), train=False
+    )
+    assert np.isfinite(float(terms["prediction"]))
