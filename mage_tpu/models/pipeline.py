@@ -262,11 +262,21 @@ class MagePipeline:
         test_flag: bool = False,
         fs_variables=None,
     ):
-        """-> dict of raw loss terms (jnp scalars) + predictions."""
+        """-> dict of raw loss terms (jnp scalars) + predictions.
+
+        ``batch`` carries either ``images`` (pixels, encoded through the
+        frozen first stage here — the reference's only path,
+        mage_model.py:575-578) or precomputed ``latents`` (latent-cached
+        training: stage-1 encode is deterministic per frame for the
+        discrete VQ first stage, so caching it is exact and removes the
+        per-step encode cost entirely — see data/device_data.py)."""
         enc_rng, drop_rng, lat_rng = jax.random.split(rng, 3)
-        latents = self.encode_first_stage(
-            jnp.asarray(batch["images"]), enc_rng, fs_variables
-        )
+        if "latents" in batch:
+            latents = jnp.asarray(batch["latents"])
+        else:
+            latents = self.encode_first_stage(
+                jnp.asarray(batch["images"]), enc_rng, fs_variables
+            )
         out = self.core.apply(
             {"params": params},
             latents,

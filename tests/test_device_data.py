@@ -1,0 +1,152 @@
+"""On-device data pipeline parity: the compact generator must describe the
+exact dataset the record-store generator writes (same seed), on-device
+frame composition must match mnist_common.render_video, and the jax
+speed-subsample indices must match datasets.speed_subsample_indices +
+repeat-last padding for every reachable speed."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mage_tpu.data import device_data as dd
+from mage_tpu.data.datasets import MovingMnist, speed_subsample_indices
+from mage_tpu.data.generators import mnist_common as mc
+from mage_tpu.data.generators import mnist_single
+
+
+def test_compact_matches_record_generator():
+    """Same seed -> the compact arrays render to the exact records the
+    .mrs generator writes (videos byte-identical, captions identical)."""
+    rng = np.random.RandomState(7)
+    images, labels = mc.load_digit_bank(None, samples_per_digit=5, seed=7)
+    train_codes, _ = mc.digit_motion_split(rng)
+    records = mnist_single.generate_split(rng, train_codes, images, labels, 6)
+
+    compact = _compact_replay(seed=7, num=6, samples_per_digit=5)
+    bank = compact["bank"]
+    tok_text = compact["train"]["text"]
+
+    ds_tok = MovingMnist.__new__(MovingMnist)  # only need the tokenizer
+    from mage_tpu.data.tokenizers import MNIST_VOCAB, VocabTokenizer
+
+    tokenizer = VocabTokenizer(MNIST_VOCAB, split_mode="whitespace")
+
+    for i, (video, caption) in enumerate(records):
+        d = compact["train"]["digit"][i]
+        ys, xs = compact["train"]["ys"][i], compact["train"]["xs"][i]
+        rendered = mc.render_video([bank[d]], [(ys, xs)], dd.SEQ_LENGTH)
+        np.testing.assert_array_equal(rendered, video)
+        np.testing.assert_array_equal(
+            tok_text[i], tokenizer.encode_padded(caption, 32)
+        )
+
+
+def _compact_replay(seed, num, samples_per_digit):
+    """build_compact_single_mnist with a small procedural bank (test-size)."""
+    rng = np.random.RandomState(seed)
+    images, labels = mc.load_digit_bank(None, samples_per_digit=samples_per_digit, seed=seed)
+    train_codes, val_codes = mc.digit_motion_split(rng)
+    from mage_tpu.data.tokenizers import MNIST_VOCAB, VocabTokenizer
+
+    tokenizer = VocabTokenizer(MNIST_VOCAB, split_mode="whitespace")
+    digits, motions = train_codes % 10, train_codes // 10
+    idx, ys, xs, text = [], [], [], []
+    while len(idx) < num:
+        i = rng.randint(images.shape[0])
+        label = int(labels[i])
+        matches = np.where(digits == label)[0]
+        if len(matches) == 0:
+            continue
+        motion = int(motions[rng.choice(matches)])
+        direction = int(rng.randint(0, 2))
+        ty, tx = mc.bounce_trajectory(dd.SEQ_LENGTH, rng, motion, direction)
+        caption = "the digit %d is moving %s ." % (
+            label, mc.MOTION_STRINGS[motion + 2 * direction]
+        )
+        idx.append(i)
+        ys.append(ty)
+        xs.append(tx)
+        text.append(tokenizer.encode_padded(caption, 32))
+    return {
+        "bank": images,
+        "train": {
+            "digit": np.asarray(idx, np.int32),
+            "ys": np.stack(ys).astype(np.int32),
+            "xs": np.stack(xs).astype(np.int32),
+            "text": np.stack(text).astype(np.int32),
+        },
+    }
+
+
+def test_build_compact_rng_parity():
+    """build_compact_single_mnist follows the generator's RNG sequence."""
+    c1 = dd.build_compact_single_mnist(num_train=4, num_val=3, seed=11)
+    c2 = _compact_replay(seed=11, num=4, samples_per_digit=100)
+    np.testing.assert_array_equal(c1["train"]["digit"], c2["train"]["digit"])
+    np.testing.assert_array_equal(c1["train"]["ys"], c2["train"]["ys"])
+    np.testing.assert_array_equal(c1["train"]["text"], c2["train"]["text"])
+
+
+def test_compose_frames_matches_render_video():
+    compact = dd.build_compact_single_mnist(num_train=5, num_val=2, seed=3)
+    bank_j = dd.normalize_bank(compact["bank"])
+    tr = compact["train"]
+    for i in range(5):
+        rendered = mc.render_video(
+            [compact["bank"][tr["digit"][i]]],
+            [(tr["ys"][i], tr["xs"][i])],
+            dd.SEQ_LENGTH,
+        ).astype(np.float32) / 255.0 - 0.5
+        composed = dd.compose_frames(
+            bank_j,
+            jnp.full((dd.SEQ_LENGTH,), tr["digit"][i]),
+            jnp.asarray(tr["ys"][i]),
+            jnp.asarray(tr["xs"][i]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(composed)[..., 0], rendered, atol=1e-7
+        )
+
+
+def test_clip_indices_matches_dataset_sampling():
+    """jax clip_indices == speed_subsample_indices + truncate + repeat-pad
+    for a dense sweep of speeds (the full reachable count range)."""
+    L = 16
+    for speed in np.concatenate(
+        [np.linspace(0.0, 0.999, 997), np.random.RandomState(0).rand(1000)]
+    ):
+        ref = speed_subsample_indices(dd.SEQ_LENGTH, [1.0, 2.0], float(np.float32(speed)), 1.0)
+        ref = ref[:L]
+        if len(ref) < L:
+            ref = np.concatenate([ref, np.repeat(ref[-1:], L - len(ref))])
+        ours = np.asarray(dd.clip_indices(jnp.float32(speed), frames_length=L))
+        np.testing.assert_array_equal(ours, ref, err_msg=f"speed={speed}")
+
+
+def test_latent_gather_equals_pixel_subsample_then_encode():
+    """Encoding all stored frames then gathering latent frames by
+    clip_indices == subsampling pixels then encoding (encode is per-frame).
+    Uses a tiny random VQ-VAE."""
+    import jax
+    from mage_tpu.models.vqvae import VectorQuantizedVAE
+
+    compact = dd.build_compact_single_mnist(num_train=2, num_val=1, seed=5)
+    bank_j = dd.normalize_bank(compact["bank"])
+    tr = compact["train"]
+    model = VectorQuantizedVAE(input_dim=1, down_ratio=4, dim=8, K=16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)), train=True)
+
+    i = 0
+    frames = dd.compose_frames(
+        bank_j,
+        jnp.full((dd.SEQ_LENGTH,), tr["digit"][i]),
+        jnp.asarray(tr["ys"][i]),
+        jnp.asarray(tr["xs"][i]),
+    )  # (20, 64, 64, 1)
+    all_ids = model.apply(variables, frames, method="encode", mutable=False)
+    pos = dd.clip_indices(jnp.float32(0.63))
+    gathered = np.asarray(all_ids[pos])
+
+    direct = np.asarray(
+        model.apply(variables, frames[pos], method="encode", mutable=False)
+    )
+    np.testing.assert_array_equal(gathered, direct)
