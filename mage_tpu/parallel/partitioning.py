@@ -9,6 +9,17 @@ XLA/GSPMD inserts the all-reduces over ICI; no model code changes.
 
 Works with any mesh that has a ``model`` axis, composing with the ``data``
 axis (DP x TP).
+
+Deliberately replicated under the ``model`` axis (not an omission):
+
+- the frozen VQ-VAE first stage (conv kernels, BatchNorm): it is inference
+  -only inside the train step, its per-frame activations dominate over its
+  ~7 M params, and replication keeps its BatchNorm statistics trivially
+  consistent (no cross-shard stat sync needed);
+- all biases/scales/embeddings and every non-attention/MLP kernel.
+
+``tests/test_partitioning.py::test_first_stage_replicated_under_tp`` pins
+this contract.
 """
 
 from __future__ import annotations

@@ -47,7 +47,7 @@ def train(opt):
     import jax
 
     from mage_tpu.config import instantiate_from_config, load_config, save_config
-    from mage_tpu.data.loader import Loader
+    from mage_tpu.data.loader import Loader, PrefetchLoader
     from mage_tpu.training.mage_trainer import MageTrainer
 
     configs = load_config(opt.config)
@@ -67,12 +67,14 @@ def train(opt):
         raise SystemExit(f"batchsize {bs} not divisible by {n_dev} devices")
     n_proc, proc = jax.process_count(), jax.process_index()
     local_bs = bs // n_proc  # per-process share (reference main_mage.py:93)
-    train_loader = Loader(train_dataset, local_bs, shuffle=True, seed=opt.seed,
-                          drop_last=True, num_shards=n_proc, shard_index=proc)
+    base_loader = Loader(train_dataset, local_bs, shuffle=True, seed=opt.seed,
+                         drop_last=True, num_shards=n_proc, shard_index=proc)
+    # overlap host decode/collate with device steps (1-vCPU host)
+    train_loader = PrefetchLoader(base_loader)
     test_loader = Loader(test_dataset, local_bs, shuffle=False, drop_last=True,
                          num_shards=n_proc, shard_index=proc)
 
-    first = next(iter(train_loader))
+    first = next(iter(base_loader))
     trainer.init_state({k: v for k, v in first.items() if k != "video_id"})
     start_epoch = 0
     if opt.resume:
@@ -90,7 +92,7 @@ def sampling(opt):
     import jax
 
     from mage_tpu.config import instantiate_from_config, load_config
-    from mage_tpu.data.loader import Loader
+    from mage_tpu.data.loader import Loader, PrefetchLoader
     from mage_tpu.training.checkpoint import Checkpointer
     from mage_tpu.utils.media import save_gif
 

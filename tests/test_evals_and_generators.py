@@ -153,3 +153,11 @@ def test_cater_anno_generator(tmp_path):
     # parse our own generated captions with the eval parser (round trip)
     parsed = sen_parse(all_caps[0], mode="explicit")
     assert parsed[0]["motion"] in {"slide", "pick-contain"}
+
+
+def test_eval_precision_self_test():
+    """The CLI's built-in metric self-check (reference names its offline
+    flow test_metrics_offline, eval_precision.py:14-45) passes."""
+    import eval_precision
+
+    assert eval_precision.self_test() == 0

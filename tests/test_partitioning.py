@@ -68,3 +68,22 @@ def test_dp_tp_train_step_runs():
             str(x.sharding.spec) for x in jax.tree_util.tree_leaves(state.params)
         ]
         assert any("model" in s for s in out_specs)
+
+
+def test_first_stage_replicated_under_tp(mesh8=None):
+    """The frozen VQ-VAE stays fully replicated under the model axis (a
+    deliberate composition — see parallel/partitioning.py docstring), while
+    attention/MLP kernels of the stage-2 core are TP-sharded."""
+    import jax
+    import jax.numpy as jnp
+    from mage_tpu.models.vqvae import VectorQuantizedVAE
+    from mage_tpu.parallel import make_mesh
+    from mage_tpu.parallel.partitioning import shard_params
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    model = VectorQuantizedVAE(input_dim=1, down_ratio=4, dim=16, K=32)
+    fs_vars = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)), train=True)
+    placed = shard_params(fs_vars["params"], mesh)
+    for path, x in jax.tree_util.tree_leaves_with_path(placed):
+        spec = x.sharding.spec
+        assert not any(spec), (jax.tree_util.keystr(path), spec)

@@ -79,7 +79,7 @@ def main(argv=None):
 
         jax.distributed.initialize()
 
-    from mage_tpu.data.loader import Loader
+    from mage_tpu.data.loader import Loader, PrefetchLoader
     from mage_tpu.models.vqvae import VectorQuantizedVAE
     from mage_tpu.training.vqvae_trainer import VQVAETrainer
 
@@ -101,10 +101,10 @@ def main(argv=None):
     if args.batch_size % n_dev:
         raise SystemExit(f"--batch-size {args.batch_size} not divisible by {n_dev} devices")
     n_proc, proc = jax.process_count(), jax.process_index()
-    train_loader = Loader(
+    train_loader = PrefetchLoader(Loader(
         train_ds, args.batch_size // n_proc, shuffle=True, seed=args.seed,
         drop_last=True, num_shards=n_proc, shard_index=proc,
-    )
+    ))  # overlap host decode/collate with device steps (1-vCPU host)
     eval_bs = min(16 if 16 % n_dev == 0 else n_dev, len(test_ds))
     eval_bs = max((eval_bs // n_dev) * n_dev, n_dev)
     test_loader = Loader(test_ds, eval_bs // n_proc, shuffle=False, drop_last=True,
