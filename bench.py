@@ -18,11 +18,14 @@ import time
 import numpy as np
 
 
-def build_pipeline(frames_length: int = 16):
+def build_pipeline(frames_length: int = 16, model: str = "mage"):
+    """model: 'mage' (discrete VQ ids, CATER-v1 recipe) or 'mage+'
+    (continuous KL-AE latents, CATER-v2 recipe)."""
     from mage_tpu.config import load_config, instantiate_from_config
     import os
 
-    cfg = load_config(os.path.join(os.path.dirname(__file__), "config/mage_caterv1.yaml"))
+    name = "config/mage_caterv1.yaml" if model == "mage" else "config/mage+_caterv2.yaml"
+    cfg = load_config(os.path.join(os.path.dirname(__file__), name))
     p = cfg.model.params
     p.first_stage_config.params.pop("ckpt_path", None)
     p.frames_length = frames_length
@@ -45,7 +48,11 @@ def main():
     # bf16 inference is the production configuration (1.36x over f32 on
     # v5e, indistinguishable greedy outputs); BENCH_DTYPE=float32 reverts.
     dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
-    pipeline = build_pipeline(frames_length)
+    # BENCH_MODEL=mage+ benches the continuous (KL-AE) variant with the
+    # causal-GroupNorm cached sampler (see MAGECore.generate_cached)
+    model = os.environ.get("BENCH_MODEL", "mage")
+    sampler = os.environ.get("BENCH_SAMPLER", "cached")
+    pipeline = build_pipeline(frames_length, model)
     rng = np.random.RandomState(0)
     ctx = pipeline.core.text_context_length
     host_batch = {
@@ -85,12 +92,16 @@ def main():
     rtt = (time.perf_counter() - t0) / 5
 
     def gen_checksum(p, fs, b, r):
-        out = pipeline.generate(p, b, r, fs_variables=fs)
+        out = pipeline.generate(
+            p, b, r, fs_variables=fs, cached=sampler == "cached"
+        )
         return jnp.sum(out.astype(jnp.float32)), out.shape
 
     gen = jax.jit(lambda p, fs, b, r: gen_checksum(p, fs, b, r)[0])
     shape = jax.eval_shape(
-        lambda p, fs, b, r: pipeline.generate(p, b, r, fs_variables=fs),
+        lambda p, fs, b, r: pipeline.generate(
+            p, b, r, fs_variables=fs, cached=sampler == "cached"
+        ),
         params, fs_vars, dev_batch, jax.random.PRNGKey(1),
     ).shape
     assert shape == (batch, frames_length, 128, 128, 3), shape

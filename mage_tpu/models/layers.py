@@ -191,13 +191,19 @@ class AxialAttentionBlock(nn.Module):
         )
         length = cache_k.shape[0]
         # causal: only positions <= pos are valid keys
-        bias = jnp.where(jnp.arange(length)[None, :] <= pos, 0.0, NEG_INF)
-        attn_out = self.attn.attend(
-            qh,
-            jnp.swapaxes(cache_k, 0, 1),
-            jnp.swapaxes(cache_v, 0, 1),
-            bias=bias,
-            train=False,
+        bias = jnp.where(jnp.arange(length)[None, None, :] <= pos, 0.0, NEG_INF)
+        # attend against the time-major cache directly: einsum contracts over
+        # the leading L axis without materializing a (N, L, heads, hd)
+        # transpose of the whole cache each step (at bench scale the two
+        # swapaxes copies per layer were ~2x the step's matmul traffic)
+        hd = self.d_model // self.n_head
+        scores = jnp.einsum("nqhd,knhd->nhqk", qh, cache_k) / jnp.sqrt(
+            jnp.asarray(hd, qh.dtype)
+        )
+        scores = scores + bias.astype(scores.dtype)
+        weights = jax.nn.softmax(scores, axis=-1)
+        attn_out = self.attn.out_proj(
+            jnp.einsum("nhqk,knhd->nqhd", weights, cache_v)
         )
         seq = seq + attn_out
         seq = seq + self.mlp(self.ln_2(seq))

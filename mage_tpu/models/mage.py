@@ -96,6 +96,7 @@ class FlatAxialDecoder(nn.Module):
     context_channels: Optional[int] = None
     use_cids: bool = True
     dropout: float = 0.1
+    remat: bool = False  # rematerialize each axial block's activations
 
     def setup(self):
         mc = self.model_channels
@@ -146,8 +147,17 @@ class FlatAxialDecoder(nn.Module):
         x = x + self.T_positional_embedding
 
         bias = causal_temporal_bias(self.frames_length, x.dtype)
-        for i, block in enumerate(self.blocks):
-            x = block(x, attn_bias=bias if i % 3 == 0 else None, train=train)
+        if self.remat and train:
+            # jax.checkpoint per block: recompute activations in backward
+            # instead of storing the (B, L, h, w, C) residual stream 4x per
+            # block — trades ~1.3x attention FLOPs for O(layers) activation
+            # memory, the standard TPU recipe for scaling batch/sequence.
+            run = nn.remat(lambda blk, y, b: blk(y, attn_bias=b, train=True))
+            for i, block in enumerate(self.blocks):
+                x = run(block, x, bias if i % 3 == 0 else None)
+        else:
+            for i, block in enumerate(self.blocks):
+                x = block(x, attn_bias=bias if i % 3 == 0 else None, train=train)
 
         return self.head(x[:, 1:])  # drop the anchor pseudo-frame
 
@@ -233,6 +243,7 @@ class MAGECore(nn.Module):
     use_cids: bool = False
     randomness: bool = False
     pre_ln: bool = False  # MAGE+ cross-attention variant (:92-93)
+    remat: bool = False  # rematerialize axial blocks + the 3D-conv pyramid
     # text encoder
     text_vocab_size: int = 30
     text_context_length: int = 32
@@ -332,6 +343,7 @@ class MAGECore(nn.Module):
                 context_channels=self.ma_d_model,
                 use_cids=self.use_cids,
                 dropout=self.dropout,
+                remat=self.remat,
             )
         if self.randomness:
             self.conv3d = [
@@ -384,16 +396,25 @@ class MAGECore(nn.Module):
 
     def video_posterior(self, x_emb: jax.Array):
         """3D-conv pyramid over the full embedded video -> (mu, logvar)
-        (reference :600-603). (B, L, h, w, C) -> two (B, h, w, 64)."""
+        (reference :600-603). (B, L, h, w, C) -> two (B, h, w, 64).
+
+        Under ``remat`` each BasicBlock3D is checkpointed: the pyramid's
+        3x3x3x512ch activations over the full video dominate training
+        memory (its FLOPs dominate the whole step — see BENCH_NOTES.md)."""
         h = x_emb
-        for block in self.conv3d:
-            h = block(h)
+        if self.remat:
+            run = nn.remat(lambda blk, y: blk(y))
+            for block in self.conv3d:
+                h = run(block, h)
+        else:
+            for block in self.conv3d:
+                h = block(h)
         h = h.squeeze(1)  # T collapsed to 1
         return self.conv_mu2(h), self.conv_var2(h)
 
     def speed_l2(self, speed: jax.Array) -> jax.Array:
         """alpha-regularizer: mean ||speed_emb||^2 (reference :633)."""
-        emb = speed.reshape(-1, 1) @ self.speed_embedding
+        emb = (speed.reshape(-1, 1) @ self.speed_embedding).astype(jnp.float32)
         return jnp.mean(jnp.sum(emb**2, axis=-1))
 
     # ---- training forward -------------------------------------------------
@@ -430,21 +451,24 @@ class MAGECore(nn.Module):
         )
         predict = self.generate_model(anchor, prior_img, train=train)
 
+        # loss reductions always run in f32 so bf16 compute (mixed
+        # precision training) keeps full-precision loss/gradient signals
         if self.use_cids:
             labels = latents[:, 1 : self.frames_length].astype(jnp.int32)
-            logits = predict.reshape(-1, self.codebook_size)
+            logits = predict.reshape(-1, self.codebook_size).astype(jnp.float32)
             recon = jnp.mean(
                 -jax.nn.log_softmax(logits)[
                     jnp.arange(logits.shape[0]), labels.reshape(-1)
                 ]
             )
         else:
-            recon = jnp.mean((predict - latents[:, 1:]) ** 2)
+            diff = predict.astype(jnp.float32) - latents[:, 1:].astype(jnp.float32)
+            recon = jnp.mean(diff**2)
 
         out = {"prediction": recon, "predict": predict}
         if self.randomness:
-            mu_f = mu.reshape(b, -1)
-            logvar_f = logvar.reshape(b, -1)
+            mu_f = mu.reshape(b, -1).astype(jnp.float32)
+            logvar_f = logvar.reshape(b, -1).astype(jnp.float32)
             out["kl_loss"] = -0.5 * jnp.mean(
                 jnp.sum(1 + logvar_f - mu_f**2 - jnp.exp(logvar_f), axis=1)
             )

@@ -143,6 +143,7 @@ class MagePipeline:
         beta: float = 1.0,
         v_kl: float = 0.0,
         auto_beta: bool = False,
+        remat: bool = False,
         first_stage_variables=None,
     ):
         self.use_cids = use_cids
@@ -202,6 +203,7 @@ class MagePipeline:
             dropout=dropout,
             use_cids=use_cids,
             randomness=randomness,
+            remat=remat,
             pre_ln=not use_cids,  # MAGE+ uses the pre-LN cross-attn variant
             text_vocab_size=te.get("vocab_size", 30),
             text_context_length=te.get("context_length", 32),

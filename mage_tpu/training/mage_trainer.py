@@ -49,13 +49,32 @@ def make_mage_tx():
     )(learning_rate=1e-4)
 
 
-def make_mage_train_step(pipeline: MagePipeline, tx):
+def cast_floating(tree, dtype):
+    """Cast f32 leaves to ``dtype`` (mixed-precision compute copies;
+    integer ids, counters, and non-f32 leaves pass through)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+def make_mage_train_step(pipeline: MagePipeline, tx, compute_dtype=None):
+    """``compute_dtype=jnp.bfloat16`` enables mixed precision: master
+    params and the Adam state stay f32; the forward/backward runs on bf16
+    copies of params + batch (2x MXU throughput for the conv/matmul-bound
+    step), while every loss reduction stays f32 (casts in MAGECore) — so
+    gradients come back f32 through the cast points. The frozen first
+    stage stays f32: its VQ argmin must produce the same ids either way."""
     randomness = pipeline.randomness
     auto_beta = pipeline.auto_beta
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: MageTrainState, fs_vars, batch, lr, beta, alpha, rng):
+        if compute_dtype is not None:
+            batch = cast_floating(batch, compute_dtype)
+
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = cast_floating(params, compute_dtype)
             terms = pipeline.loss_terms(
                 params, batch, rng, train=True, fs_variables=fs_vars
             )
@@ -82,14 +101,23 @@ def make_mage_train_step(pipeline: MagePipeline, tx):
     return train_step
 
 
-def make_mage_eval_step(pipeline: MagePipeline):
+def make_mage_eval_step(pipeline: MagePipeline, compute_dtype=None,
+                        test_flag: bool = False):
+    """``test_flag=True`` evaluates under PRIOR sampling of the stochastic
+    branch (the reference test()-time behavior, mage_model.py:604-605);
+    False matches the reference's validation loop (posterior sampling)."""
     randomness = pipeline.randomness
     auto_beta = pipeline.auto_beta
 
     @jax.jit
     def eval_step(state: MageTrainState, fs_vars, batch, beta, alpha, rng):
+        params = state.params
+        if compute_dtype is not None:
+            params = cast_floating(params, compute_dtype)
+            batch = cast_floating(batch, compute_dtype)
         terms = pipeline.loss_terms(
-            state.params, batch, rng, train=False, fs_variables=fs_vars
+            params, batch, rng, train=False, test_flag=test_flag,
+            fs_variables=fs_vars
         )
         final = terms["prediction"]
         if randomness:
@@ -115,8 +143,10 @@ class MageTrainer:
         self.cfg = train_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self.tx = make_mage_tx()
-        self.train_step = make_mage_train_step(pipeline, self.tx)
-        self.eval_step = make_mage_eval_step(pipeline)
+        # train.bf16: true -> mixed-precision step (see make_mage_train_step)
+        compute_dtype = jnp.bfloat16 if bool(train_cfg.get("bf16", False)) else None
+        self.train_step = make_mage_train_step(pipeline, self.tx, compute_dtype)
+        self.eval_step = make_mage_eval_step(pipeline, compute_dtype)
         self.ckpt = Checkpointer(checkpoint_path)
         self.writer = MetricsWriter(checkpoint_path)
         self.seed = seed

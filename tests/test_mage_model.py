@@ -256,3 +256,23 @@ def test_generate_cached_continuous_exact_single_step():
     np.testing.assert_allclose(
         np.asarray(cached), np.asarray(naive), rtol=1e-5, atol=1e-6
     )
+
+
+def test_prior_sampling_eval_path():
+    """test_flag=True evaluates the loss under PRIOR sampling of the
+    stochastic branch (reference mage_model.py:604-605: test() draws
+    video_emb ~ N(0,1) instead of the posterior sample): the prediction
+    loss must change (different modulation) while the KL term — a function
+    of the posterior (mu, logvar) only — must be identical."""
+    core = _core(use_cids=True, randomness=True)
+    latents, text, speed = _batch(True)
+    variables = _init(core, latents, text, speed)
+    rngs = {"dropout": jax.random.PRNGKey(3), "latent": jax.random.PRNGKey(4)}
+    post = core.apply(variables, latents, text, speed, train=False,
+                      test_flag=False, rngs=rngs)
+    prior = core.apply(variables, latents, text, speed, train=False,
+                       test_flag=True, rngs=rngs)
+    np.testing.assert_allclose(
+        float(post["kl_loss"]), float(prior["kl_loss"]), rtol=1e-6
+    )
+    assert abs(float(post["prediction"]) - float(prior["prediction"])) > 1e-6
