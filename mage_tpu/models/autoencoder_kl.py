@@ -247,6 +247,12 @@ class FirstStageKL:
                 )
         return cls(model, variables)
 
+    # the KL-AE's ResNet enc/dec (ch 128, ch_mult [1,2,4,4]) materializes
+    # ~8x the activation bytes per 128px frame of the VQ-VAE f8 stack;
+    # batch-folded frame chunks must be correspondingly smaller to fit v5e
+    # HBM (measured: 480 frames at 128px OOM unchunked; 128 fits)
+    frame_chunk: int = 128
+
     def encode(self, videos: jax.Array, rng: jax.Array, variables=None) -> jax.Array:
         """(B, T, H, W, C) -> sampled latents (B, T, h, w, z) — stochastic
         per step (reference mage_model.py:542-549)."""
@@ -256,7 +262,8 @@ class FirstStageKL:
         b, t = videos.shape[:2]
         flat = videos.reshape(b * t, *videos.shape[2:])
         moments = _chunked_frames(
-            lambda c: self.model.apply(variables, c, method="encode_moments"), flat
+            lambda c: self.model.apply(variables, c, method="encode_moments"), flat,
+            max_chunk=self.frame_chunk,
         )
         z = DiagonalGaussian(moments).sample(rng)
         return jax.lax.stop_gradient(z.reshape(b, t, *z.shape[1:]))
@@ -268,6 +275,7 @@ class FirstStageKL:
         b, t = latents.shape[:2]
         flat = latents.reshape(b * t, *latents.shape[2:])
         frames = _chunked_frames(
-            lambda c: self.model.apply(variables, c, method="decode"), flat
+            lambda c: self.model.apply(variables, c, method="decode"), flat,
+            max_chunk=self.frame_chunk,
         )
         return jax.lax.stop_gradient(frames.reshape(b, t, *frames.shape[1:]))
