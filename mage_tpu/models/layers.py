@@ -168,7 +168,7 @@ class AxialAttentionBlock(nn.Module):
     def incremental_temporal(
         self,
         x_slot: jax.Array,  # (B, H, W, C) — the single new temporal slot
-        cache_k: jax.Array,  # (L, B*H*W, heads, hd) — L leading: slab update
+        cache_k: jax.Array,  # (L, B*H*W, C) — time-major FLAT cache
         cache_v: jax.Array,
         pos: jax.Array,  # scalar index of this slot
     ):
@@ -176,35 +176,31 @@ class AxialAttentionBlock(nn.Module):
         write this slot's K/V at ``pos``, attend the slot's queries over
         cache positions <= pos. Returns (y_slot, cache_k, cache_v).
 
-        Caches are laid out time-major so each step's write is one
-        contiguous leading-axis slab (cheap in-place dynamic_update_slice)."""
+        Caches are time-major (each step's write is one contiguous
+        leading-axis slab) and FLAT in the channel dim: the reference's
+        heads = d/32 layout pads (…, heads, 32) tensors 4x on the TPU's
+        128-lane tile, so the cache — the step's dominant HBM traffic —
+        stays (L, N, D) and heads split only inside the fused attention
+        (ops/cached_attention.py: Pallas on TPU, exact einsum fallback)."""
+        from mage_tpu.ops.cached_attention import cached_slot_attention
+
         b, hgt, wdt, c = x_slot.shape
-        seq = x_slot.reshape(b * hgt * wdt, 1, c)
+        n = b * hgt * wdt
+        seq = x_slot.reshape(n, 1, c)
         h = self.ln_1(seq)
-        qh = self.attn.q_proj(h)
-        kh, vh = self.attn.project_kv(h)  # (N, 1, heads, hd)
+        qh = self.attn.q_proj(h)  # (N, 1, heads, hd)
+        kh, vh = self.attn.project_kv(h)
         cache_k = jax.lax.dynamic_update_slice_in_dim(
-            cache_k, jnp.swapaxes(kh, 0, 1), pos, axis=0
+            cache_k, kh.reshape(1, n, c), pos, axis=0
         )
         cache_v = jax.lax.dynamic_update_slice_in_dim(
-            cache_v, jnp.swapaxes(vh, 0, 1), pos, axis=0
+            cache_v, vh.reshape(1, n, c), pos, axis=0
         )
-        length = cache_k.shape[0]
-        # causal: only positions <= pos are valid keys
-        bias = jnp.where(jnp.arange(length)[None, None, :] <= pos, 0.0, NEG_INF)
-        # attend against the time-major cache directly: einsum contracts over
-        # the leading L axis without materializing a (N, L, heads, hd)
-        # transpose of the whole cache each step (at bench scale the two
-        # swapaxes copies per layer were ~2x the step's matmul traffic)
-        hd = self.d_model // self.n_head
-        scores = jnp.einsum("nqhd,knhd->nhqk", qh, cache_k) / jnp.sqrt(
-            jnp.asarray(hd, qh.dtype)
+        attn2d = cached_slot_attention(
+            qh.reshape(n, c), cache_k, cache_v, pos, self.n_head
         )
-        scores = scores + bias.astype(scores.dtype)
-        weights = jax.nn.softmax(scores, axis=-1)
-        attn_out = self.attn.out_proj(
-            jnp.einsum("nhqk,knhd->nqhd", weights, cache_v)
-        )
+        hd = c // self.n_head
+        attn_out = self.attn.out_proj(attn2d.reshape(n, 1, self.n_head, hd))
         seq = seq + attn_out
         seq = seq + self.mlp(self.ln_2(seq))
         return seq.reshape(b, hgt, wdt, c), cache_k, cache_v

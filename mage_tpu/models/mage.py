@@ -164,13 +164,11 @@ class FlatAxialDecoder(nn.Module):
     # ---- cached incremental decode (exact under temporal causality) ------
 
     def init_cache(self, batch: int, h: int, w: int, dtype=jnp.float32):
-        """Empty per-temporal-layer KV caches (time-major: see
+        """Empty per-temporal-layer KV caches (time-major FLAT layout: see
         AxialAttentionBlock.incremental_temporal): the GroupNorm in the head
         and H/W layers are per-slot, so only T-layers (i % 3 == 0) need
         state."""
-        mc, heads = self.model_channels, self.model_channels // 32
-        hd = mc // heads
-        shape = (self.frames_length, batch * h * w, heads, hd)
+        shape = (self.frames_length, batch * h * w, self.model_channels)
         return {
             f"layer_{i}": (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for i in range(self.layers)

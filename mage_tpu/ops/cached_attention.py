@@ -1,0 +1,143 @@
+"""Fused single-slot attention over a time-major KV cache.
+
+The AR sampler's temporal layers attend ONE new query slot against a
+(L, N, D) cache (L = frames incl. anchor, N = batch*h*w tokens, D =
+d_model). The reference architecture fixes heads = D/32 (reference
+modules/mage_model.py:109,191: ``heads = d_model // 32``), i.e. head_dim
+32 — and every (..., heads, 32) tensor on TPU pads its 32-wide minor dim
+to the 128-lane tile, a 4x expansion of the dominant HBM traffic of the
+decode step (measured in the bench OOM dumps: 256 MB unpadded -> 1 GB
+padded). This kernel keeps the cache and all HBM-resident operands in
+flat (…, D) layout — no padding — and splits heads only inside VMEM.
+
+Per CLAUDE.md hard-won Mosaic/v5e rules every kernel intermediate stays
+2-D (1-D shapes trigger register-spill VMEM blowups); the per-head
+score/value loops are static unrolls over L (<= ~20) and heads.
+
+``cached_slot_attention`` dispatches to the kernel on TPU and to an
+einsum fallback elsewhere; the fallback is the exact reference math
+(softmax(q.K^T/sqrt(hd) + causal bias).V per head) and is what the
+exactness tests pin against the naive sampler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e9
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _attn_kernel(n_head: int, q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """(BN, D) query tile x (L, BN, D) cache tiles -> (BN, D) output.
+
+    bias_ref: (1, L) additive causal bias (0 for valid keys, -1e9 beyond
+    ``pos``). Scores/weights are computed in f32 for stable softmax and the
+    output is cast back to the cache dtype.
+    """
+    length = k_ref.shape[0]
+    d = q_ref.shape[1]
+    hd = d // n_head
+    scale = 1.0 / (hd ** 0.5)
+    bias = bias_ref[:, :].astype(jnp.float32)  # (1, L)
+    for h in range(n_head):
+        sl = slice(h * hd, (h + 1) * hd)
+        q_h = q_ref[:, sl].astype(jnp.float32) * scale  # (BN, hd)
+        cols = [
+            jnp.sum(q_h * k_ref[l, :, sl].astype(jnp.float32), axis=1,
+                    keepdims=True)
+            for l in range(length)
+        ]
+        scores = jnp.concatenate(cols, axis=1) + bias  # (BN, L)
+        w = jax.nn.softmax(scores, axis=-1)
+        acc = w[:, 0:1] * v_ref[0, :, sl].astype(jnp.float32)
+        for l in range(1, length):
+            acc = acc + w[:, l:l + 1] * v_ref[l, :, sl].astype(jnp.float32)
+        o_ref[:, sl] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "tile_n", "interpret")
+)
+def _attn_pallas(q, cache_k, cache_v, bias, n_head, tile_n=256, interpret=False):
+    n, d = q.shape
+    length = cache_k.shape[0]
+    n_pad = _cdiv(max(n, 8), tile_n) * tile_n
+    if n_pad != n:
+        q = jnp.pad(q, ((0, n_pad - n), (0, 0)))
+        cache_k = jnp.pad(cache_k, ((0, 0), (0, n_pad - n), (0, 0)))
+        cache_v = jnp.pad(cache_v, ((0, 0), (0, n_pad - n), (0, 0)))
+    grid = (n_pad // tile_n,)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, n_head),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+            pl.BlockSpec((length, tile_n, d), lambda i: (0, i, 0)),
+            pl.BlockSpec((length, tile_n, d), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, length), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), q.dtype),
+        interpret=interpret,
+    )(q, cache_k, cache_v, bias)
+    return out[:n]
+
+
+def _attn_xla(q, cache_k, cache_v, bias, n_head):
+    """Exact reference attention math on the flat layout."""
+    n, d = q.shape
+    length = cache_k.shape[0]
+    hd = d // n_head
+    qh = q.reshape(n, n_head, hd)
+    kh = cache_k.reshape(length, n, n_head, hd)
+    vh = cache_v.reshape(length, n, n_head, hd)
+    scores = jnp.einsum("nhd,knhd->nhk", qh, kh) / jnp.sqrt(
+        jnp.asarray(hd, q.dtype)
+    )
+    scores = scores + bias.reshape(1, 1, length).astype(scores.dtype)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("nhk,knhd->nhd", w, vh)
+    return out.reshape(n, d)
+
+
+def _use_pallas_default() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def cached_slot_attention(
+    q: jax.Array,  # (N, D) — the new slot's queries, heads merged
+    cache_k: jax.Array,  # (L, N, D) time-major flat cache
+    cache_v: jax.Array,
+    pos: jax.Array,  # scalar: current slot index; keys > pos are masked
+    n_head: int,
+    *,
+    impl: Literal["auto", "pallas", "xla", "pallas_interpret"] = "auto",
+) -> jax.Array:
+    """Single-slot causal multi-head attention against the cache -> (N, D)."""
+    length = cache_k.shape[0]
+    bias = jnp.where(
+        jnp.arange(length)[None, :] <= pos, 0.0, NEG_INF
+    ).astype(jnp.float32)
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get(
+            "MAGE_CACHED_ATTN", "pallas" if _use_pallas_default() else "xla"
+        )
+    if impl == "pallas":
+        return _attn_pallas(q, cache_k, cache_v, bias, n_head)
+    if impl == "pallas_interpret":
+        return _attn_pallas(q, cache_k, cache_v, bias, n_head, interpret=True)
+    return _attn_xla(q, cache_k, cache_v, bias, n_head)
