@@ -87,3 +87,37 @@ def test_first_stage_replicated_under_tp(mesh8=None):
     for path, x in jax.tree_util.tree_leaves_with_path(placed):
         spec = x.sharding.spec
         assert not any(spec), (jax.tree_util.keystr(path), spec)
+
+
+def test_sharded_generation_matches_single_device(mesh8):
+    """Batch-parallel AR generation: the cached sampler under a data-sharded
+    batch (params replicated over the mesh) produces exactly the ids of the
+    unsharded run — multi-chip inference is plain data parallelism, the
+    per-chip number in BENCH_NOTES scales by chip count."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mage_tpu.parallel import replicated_sharding, shard_batch
+    from tests.test_mage_model import _batch, _core, _init
+
+    core = _core(use_cids=True, randomness=True)
+    latents, text, speed = _batch(True, b=8)
+    variables = _init(core, latents, text, speed)
+    noise = jnp.zeros((8, 4, 4, 64), jnp.float32)
+
+    def gen(vars_, lat0, txt, spd, nz):
+        return core.apply(vars_, lat0, txt, spd, video_noise=nz,
+                          method="generate_cached")
+
+    ref = jax.jit(gen)(variables, latents[:, :1], text, speed, noise)
+
+    v_repl = jax.device_put(variables, replicated_sharding(mesh8))
+    sharded = shard_batch(
+        {"lat0": latents[:, :1], "text": text, "speed": speed, "noise": noise},
+        mesh8,
+    )
+    out = jax.jit(gen)(v_repl, sharded["lat0"], sharded["text"],
+                       sharded["speed"], sharded["noise"])
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
