@@ -1,4 +1,5 @@
-"""Convert reference PyTorch checkpoints to mage_tpu orbax checkpoints.
+"""Convert checkpoints between the reference (PyTorch) and mage_tpu (orbax)
+formats — both directions.
 
 Usage:
     # stage-1 VQ-VAE (reference train_vqvae.py output, e.g. caterv1.pt)
@@ -8,6 +9,13 @@ Usage:
     # stage-2 MAGE (reference main_mage.py output, e.g. model_best.pth)
     python -m mage_tpu.compat.convert mage --input model_best.pth \
         --config config/mage_caterv1.yaml --output results/imported
+
+    # back to torch (strict-loadable by the reference modules)
+    python -m mage_tpu.compat.convert export-vqvae --input <orbax ckpt> \
+        --down-ratio 8 --output caterv1_exported.pt
+    python -m mage_tpu.compat.convert export-mage --input <orbax ckpt> \
+        --config config/mage_caterv1.yaml \
+        [--first-stage <orbax vqvae ckpt>] --output model_exported.pth
 """
 
 from __future__ import annotations
@@ -29,7 +37,23 @@ def main(argv=None):
     pm.add_argument("--config", required=True, help="mage_tpu YAML config")
     pm.add_argument("--output", required=True)
 
+    pev = sub.add_parser("export-vqvae")
+    pev.add_argument("--input", required=True, help="orbax checkpoint path")
+    pev.add_argument("--down-ratio", type=int, default=8, choices=[4, 8])
+    pev.add_argument("--output", required=True, help=".pt file")
+
+    pem = sub.add_parser("export-mage")
+    pem.add_argument("--input", required=True, help="orbax checkpoint path")
+    pem.add_argument("--config", required=True, help="mage_tpu YAML config")
+    pem.add_argument("--first-stage", default="",
+                     help="orbax VQ-VAE checkpoint to merge as first_stage_model.*")
+    pem.add_argument("--first-stage-down-ratio", type=int, default=8, choices=[4, 8])
+    pem.add_argument("--output", required=True, help=".pth file")
+
     args = p.parse_args(argv)
+
+    if args.kind in ("export-vqvae", "export-mage"):
+        return _export(args)
 
     import os
 
@@ -79,6 +103,63 @@ def main(argv=None):
     ckpt.save(name, tree)
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"imported {n:,} stage-2 params -> {args.output}")
+
+
+def _restore(path: str) -> dict:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+
+
+def _export(args):
+    import torch
+
+    from mage_tpu.compat.torch_export import (
+        export_mage_core,
+        export_vqvae,
+        to_torch,
+    )
+
+    restored = _restore(args.input)
+    if args.kind == "export-vqvae":
+        variables = {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+        }
+        sd = to_torch(export_vqvae(variables, down_ratio=args.down_ratio))
+    else:
+        from mage_tpu.config import load_config
+
+        cfg = load_config(args.config).model.params
+        te = cfg.text_encoder_config.params
+        ma = cfg.ma_config.params
+        dec = cfg.generate_decoder_config.params
+        use_cids = bool(cfg.get("use_cids", False))
+        first_stage = None
+        if args.first_stage:
+            fs = _restore(args.first_stage)
+            first_stage = export_vqvae(
+                {"params": fs["params"],
+                 "batch_stats": fs.get("batch_stats", {})},
+                down_ratio=args.first_stage_down_ratio,
+            )
+        sd = to_torch(
+            export_mage_core(
+                restored["params"],
+                use_cids=use_cids,
+                randomness=bool(cfg.get("randomness", False)),
+                text_layers=int(te.transformer_layers),
+                ma_layers=int(ma.layers),
+                dec_layers=int(dec.layers),
+                pre_ln=not use_cids,
+                first_stage=first_stage,
+            )
+        )
+    torch.save(sd, args.output)
+    print(f"exported {len(sd)} tensors -> {args.output}")
+
 
 
 if __name__ == "__main__":

@@ -186,3 +186,39 @@ def test_mage_plus_export_roundtrip(ref):
         text_width=_W, text_layers=1, ma_layers=1, dec_layers=3, pre_ln=True,
     )
     _assert_trees_equal(params, back)
+
+
+def test_convert_cli_export_roundtrip(tmp_path):
+    """orbax -> export-vqvae (.pt) -> vqvae (orbax) round-trips through the
+    CLI surface."""
+    import jax
+    import jax.numpy as jnp
+
+    from mage_tpu.compat import convert
+    from mage_tpu.models.vqvae import VectorQuantizedVAE
+    from mage_tpu.training.checkpoint import Checkpointer
+
+    model = VectorQuantizedVAE(input_dim=1, down_ratio=4, dim=8, K=16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)), train=True
+    )
+    ckpt = Checkpointer(str(tmp_path))
+    ckpt.save("orig", jax.device_get(variables))
+
+    pt = str(tmp_path / "exported.pt")
+    convert.main(["export-vqvae", "--input", str(tmp_path / "orig"),
+                  "--down-ratio", "4", "--output", pt])
+    convert.main(["vqvae", "--input", pt, "--down-ratio", "4",
+                  "--output", str(tmp_path / "back")])
+
+    back = _restore_tree(str(tmp_path / "back"))
+    _assert_trees_equal(variables["params"], back["params"])
+    _assert_trees_equal(variables["batch_stats"], back["batch_stats"])
+
+
+def _restore_tree(path):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path))
