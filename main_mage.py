@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--sample-batch-size", type=int, default=1)
     p.add_argument("--save-gifs", action="store_true", default=True)
     p.add_argument("--multihost", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="cast weights/inputs to bfloat16 for sampling "
+                        "(~1.4x on v5e; greedy outputs indistinguishable — "
+                        "see BENCH_NOTES.md)")
     return p.parse_args(argv)
 
 
@@ -115,6 +119,11 @@ def sampling(opt):
     import jax.numpy as jnp
 
     fs_vars = pipeline.first_stage.variables
+    if opt.bf16:
+        from mage_tpu.training.mage_trainer import cast_floating
+
+        params = cast_floating(params, jnp.bfloat16)
+        fs_vars = cast_floating(fs_vars, jnp.bfloat16)
     gen = jax.jit(
         lambda p, batch, rng: pipeline.generate(p, batch, rng, fs_variables=fs_vars)
     )
@@ -126,6 +135,11 @@ def sampling(opt):
             break
         video_ids = batch.pop("video_id", [f"sample_{done + i}" for i in range(bs)])
         batch = {k: jnp.asarray(np.asarray(v)) for k, v in batch.items()}
+        if opt.bf16:
+            batch = {
+                k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
+                for k, v in batch.items()
+            }
         for s in range(opt.n_samples):
             rng, step_rng = jax.random.split(rng)
             videos = np.asarray(gen(params, batch, step_rng), np.float32)
