@@ -67,7 +67,9 @@ def _attn_kernel(n_head: int, q_ref, k_ref, v_ref, bias_ref, o_ref):
 @functools.partial(
     jax.jit, static_argnames=("n_head", "tile_n", "interpret")
 )
-def _attn_pallas(q, cache_k, cache_v, bias, n_head, tile_n=256, interpret=False):
+def _attn_pallas(q, cache_k, cache_v, bias, n_head, tile_n=128, interpret=False):
+    # VMEM budget: K+V blocks are 2 * L * tile_n * D * itemsize — at the
+    # flagship shape (L=16, D=512) tile 128 keeps f32 under 9 MB (bf16 4.5)
     n, d = q.shape
     length = cache_k.shape[0]
     n_pad = _cdiv(max(n, 8), tile_n) * tile_n
