@@ -79,23 +79,18 @@ def main(argv=None):
         print(f"imported {n:,} values -> {args.output}")
         return
 
-    from mage_tpu.config import load_config
-
-    cfg = load_config(args.config).model.params
-    te = cfg.text_encoder_config.params
-    ma = cfg.ma_config.params
-    dec = cfg.generate_decoder_config.params
+    dims = _mage_dims(args.config)
     params = import_mage_core(
         sd,
-        use_cids=bool(cfg.get("use_cids", False)),
-        randomness=bool(cfg.get("randomness", False)),
-        vision_width=int(cfg.vision_width),
-        ma_d_model=int(ma.d_model),
-        text_width=int(te.transformer_width),
-        text_layers=int(te.transformer_layers),
-        ma_layers=int(ma.layers),
-        dec_layers=int(dec.layers),
-        pre_ln=not bool(cfg.get("use_cids", False)),
+        use_cids=dims["use_cids"],
+        randomness=dims["randomness"],
+        vision_width=dims["vision_width"],
+        ma_d_model=dims["ma_d_model"],
+        text_width=dims["text_width"],
+        text_layers=dims["text_layers"],
+        ma_layers=dims["ma_layers"],
+        dec_layers=dims["dec_layers"],
+        pre_ln=dims["pre_ln"],
     )
     params = jax.tree_util.tree_map(jnp.asarray, params)
     # wrap as a restorable train-state-shaped tree (params only)
@@ -111,6 +106,31 @@ def _restore(path: str) -> dict:
     import orbax.checkpoint as ocp
 
     return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+
+
+def _mage_dims(config_path: str) -> dict:
+    """The MAGECore dims/flags both conversion directions derive from a
+    mage_tpu YAML config (single source for the pre_ln = MAGE+ rule)."""
+    from mage_tpu.config import load_config
+
+    cfg = load_config(config_path).model.params
+    te = cfg.text_encoder_config.params
+    ma = cfg.ma_config.params
+    dec = cfg.generate_decoder_config.params
+    use_cids = bool(cfg.get("use_cids", False))
+    return dict(
+        use_cids=use_cids,
+        randomness=bool(cfg.get("randomness", False)),
+        vision_width=int(cfg.vision_width),
+        ma_d_model=int(ma.d_model),
+        text_width=int(te.transformer_width),
+        text_layers=int(te.transformer_layers),
+        ma_layers=int(ma.layers),
+        dec_layers=int(dec.layers),
+        # the reference switches the cross-attn LN placement by variant
+        # (mage_model.py:92-93): MAGE+ (continuous) is pre-LN
+        pre_ln=not use_cids,
+    )
 
 
 def _export(args):
@@ -130,13 +150,7 @@ def _export(args):
         }
         sd = to_torch(export_vqvae(variables, down_ratio=args.down_ratio))
     else:
-        from mage_tpu.config import load_config
-
-        cfg = load_config(args.config).model.params
-        te = cfg.text_encoder_config.params
-        ma = cfg.ma_config.params
-        dec = cfg.generate_decoder_config.params
-        use_cids = bool(cfg.get("use_cids", False))
+        dims = _mage_dims(args.config)
         first_stage = None
         if args.first_stage:
             fs = _restore(args.first_stage)
@@ -148,12 +162,12 @@ def _export(args):
         sd = to_torch(
             export_mage_core(
                 restored["params"],
-                use_cids=use_cids,
-                randomness=bool(cfg.get("randomness", False)),
-                text_layers=int(te.transformer_layers),
-                ma_layers=int(ma.layers),
-                dec_layers=int(dec.layers),
-                pre_ln=not use_cids,
+                use_cids=dims["use_cids"],
+                randomness=dims["randomness"],
+                text_layers=dims["text_layers"],
+                ma_layers=dims["ma_layers"],
+                dec_layers=dims["dec_layers"],
+                pre_ln=dims["pre_ln"],
                 first_stage=first_stage,
             )
         )

@@ -298,23 +298,36 @@ class MagePipeline:
         rng: jax.Array,
         fs_variables=None,
         cached: Optional[bool] = None,
+        compute_dtype=None,
     ) -> jax.Array:
         """batch (first frame + text [+ speed]) -> full video (B, L, H, W, C)
         with the ground-truth first frame prepended (reference :686-691).
 
         ``cached`` selects the O(L) KV-cached sampler (default for discrete
         ids, where it is exact; the continuous head defaults to the naive
-        reference-parity loop — see MAGECore.generate_cached)."""
+        reference-parity loop — see MAGECore.generate_cached).
+
+        ``compute_dtype`` (e.g. bfloat16) casts the stage-2 inputs crossing
+        into the core so a caller passing bf16 ``params`` gets a fully-bf16
+        transformer while the FROZEN FIRST STAGE stays at its own precision
+        — its VQ argmin must produce the same conditioning ids as f32
+        (same contract as bf16 training, training/mage_trainer.py)."""
         if cached is None:
             cached = self.use_cids
         enc_rng, lat_rng = jax.random.split(rng)
         first = jnp.asarray(batch["images"])[:, 0:1]
         latents0 = self.encode_first_stage(first, enc_rng, fs_variables)
+        speed = batch.get("speed")
+        if compute_dtype is not None:
+            if jnp.issubdtype(latents0.dtype, jnp.floating):
+                latents0 = latents0.astype(compute_dtype)
+            if speed is not None:
+                speed = speed.astype(compute_dtype)
         gen_latents = self.core.apply(
             {"params": params},
             latents0,
             batch["text"],
-            batch.get("speed"),
+            speed,
             method="generate_cached" if cached else "generate",
             rngs={"latent": lat_rng},
         )

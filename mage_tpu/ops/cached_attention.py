@@ -118,6 +118,16 @@ def _use_pallas_default() -> bool:
         return False
 
 
+def _pick_tile(n: int, cap: int = 128) -> int:
+    """Largest multiple-of-8 divisor of ``n`` up to ``cap`` — a tile that
+    divides N exactly avoids jnp.pad materializing a copy of the whole
+    (L, N, D) cache on every call (the traffic this kernel exists to cut)."""
+    for t in range(min(cap, n), 7, -1):
+        if n % t == 0 and t % 8 == 0:
+            return t
+    return 8  # ragged N: smallest aligned tile, pad one short tail tile
+
+
 def cached_slot_attention(
     q: jax.Array,  # (N, D) — the new slot's queries, heads merged
     cache_k: jax.Array,  # (L, N, D) time-major flat cache
@@ -127,7 +137,15 @@ def cached_slot_attention(
     *,
     impl: Literal["auto", "pallas", "xla", "pallas_interpret"] = "auto",
 ) -> jax.Array:
-    """Single-slot causal multi-head attention against the cache -> (N, D)."""
+    """Single-slot causal multi-head attention against the cache -> (N, D).
+
+    Sharding note: the Pallas path is a custom call that GSPMD cannot split;
+    under a batch-sharded mesh XLA will insert all-gathers around it
+    (correct but slow). For multi-chip batch-parallel generation set
+    ``MAGE_CACHED_ATTN=xla`` (the fallback partitions trivially) or run the
+    sampler under ``shard_map``. Single-chip TPU — the benched path —
+    defaults to the kernel.
+    """
     length = cache_k.shape[0]
     bias = jnp.where(
         jnp.arange(length)[None, :] <= pos, 0.0, NEG_INF
@@ -138,8 +156,14 @@ def cached_slot_attention(
         impl = os.environ.get(
             "MAGE_CACHED_ATTN", "pallas" if _use_pallas_default() else "xla"
         )
+    if impl not in ("pallas", "pallas_interpret", "xla"):
+        raise ValueError(
+            f"MAGE_CACHED_ATTN/impl must be pallas|pallas_interpret|xla, got {impl!r}"
+        )
     if impl == "pallas":
-        return _attn_pallas(q, cache_k, cache_v, bias, n_head)
+        return _attn_pallas(q, cache_k, cache_v, bias, n_head,
+                            tile_n=_pick_tile(q.shape[0]))
     if impl == "pallas_interpret":
-        return _attn_pallas(q, cache_k, cache_v, bias, n_head, interpret=True)
+        return _attn_pallas(q, cache_k, cache_v, bias, n_head,
+                            tile_n=_pick_tile(q.shape[0]), interpret=True)
     return _attn_xla(q, cache_k, cache_v, bias, n_head)

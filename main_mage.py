@@ -34,9 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--save-gifs", action="store_true", default=True)
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--bf16", action="store_true",
-                   help="cast weights/inputs to bfloat16 for sampling "
-                        "(~1.4x on v5e; greedy outputs indistinguishable — "
-                        "see BENCH_NOTES.md)")
+                   help="bfloat16 stage-2 transformer for sampling (~1.4x on "
+                        "v5e); the frozen first stage stays f32 so "
+                        "conditioning ids match the f32 run")
     return p.parse_args(argv)
 
 
@@ -119,13 +119,19 @@ def sampling(opt):
     import jax.numpy as jnp
 
     fs_vars = pipeline.first_stage.variables
+    compute_dtype = None
     if opt.bf16:
+        # stage-2 core in bf16; the frozen first stage STAYS f32 so the VQ
+        # argmin yields the same conditioning ids as an f32 run (the same
+        # contract as bf16 training, mage_tpu/training/mage_trainer.py)
         from mage_tpu.training.mage_trainer import cast_floating
 
         params = cast_floating(params, jnp.bfloat16)
-        fs_vars = cast_floating(fs_vars, jnp.bfloat16)
+        compute_dtype = jnp.bfloat16
     gen = jax.jit(
-        lambda p, batch, rng: pipeline.generate(p, batch, rng, fs_variables=fs_vars)
+        lambda p, batch, rng: pipeline.generate(
+            p, batch, rng, fs_variables=fs_vars, compute_dtype=compute_dtype
+        )
     )
     rng = jax.random.PRNGKey(opt.seed)
     out_dir = os.path.join(ckpt_dir, "videos")
@@ -135,11 +141,6 @@ def sampling(opt):
             break
         video_ids = batch.pop("video_id", [f"sample_{done + i}" for i in range(bs)])
         batch = {k: jnp.asarray(np.asarray(v)) for k, v in batch.items()}
-        if opt.bf16:
-            batch = {
-                k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
-                for k, v in batch.items()
-            }
         for s in range(opt.n_samples):
             rng, step_rng = jax.random.split(rng)
             videos = np.asarray(gen(params, batch, step_rng), np.float32)
