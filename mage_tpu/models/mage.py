@@ -543,6 +543,11 @@ class MAGECore(nn.Module):
             buf = jnp.where(i + 1 <= l1 - 1, updated, buf)
             return buf, prediction
 
+        if self.is_initializing():
+            # params first touched inside a fori_loop body would be returned
+            # as stale tracers by init; create them in this (outer) scope
+            return body(jnp.int32(0), (buffer0, pred0))[1]
+
         _, prediction = jax.lax.fori_loop(0, l1, body, (buffer0, pred0))
         if self.use_cids:
             return jnp.argmax(prediction, axis=-1).astype(jnp.int32)
@@ -600,6 +605,15 @@ class MAGECore(nn.Module):
             next_emb = self.embed_latents(frame)
             next_slot = self.stem(next_emb[:, None])[:, 0]
             return (next_slot, cache, gn_state), frame
+
+        if self.is_initializing():
+            # in_linear and the head are first touched inside the scan body;
+            # params created there would be returned as stale tracers by
+            # init — run one step in this (outer) scope instead
+            _, frame0 = step((slot1, cache, gn_state), jnp.int32(1))
+            return jnp.broadcast_to(
+                frame0[:, None], (b, self.frames_length - 1) + frame0.shape[1:]
+            )
 
         _, frames = jax.lax.scan(
             step,

@@ -276,3 +276,28 @@ def test_prior_sampling_eval_path():
         float(post["kl_loss"]), float(prior["kl_loss"]), rtol=1e-6
     )
     assert abs(float(post["prediction"]) - float(prior["prediction"])) > 1e-6
+
+
+@pytest.mark.parametrize("method", ["generate", "generate_cached"])
+@pytest.mark.parametrize("use_cids", [True, False])
+def test_init_through_generate_returns_concrete_params(use_cids, method):
+    """Params first touched inside the generation loops (in_linear, the
+    head) must come back concrete from init, not as stale tracers — the
+    path a user takes when initializing straight into sampling."""
+    core = _core(use_cids=use_cids)
+    latents, text, speed = _batch(use_cids=use_cids)
+    rngs = {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(2)}
+    variables = core.init(rngs, latents[:, :1], text, speed, method=method)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(variables):
+        assert isinstance(leaf, (jax.Array, np.ndarray)), (
+            jax.tree_util.keystr(path), type(leaf))
+    # the init-built params must run the real sampler
+    out = core.apply(variables, latents[:, :1], text, speed, method=method,
+                     rngs={"latent": jax.random.PRNGKey(3)})
+    expect = (2, L - 1, R, R) if use_cids else (2, L - 1, R, R, 4)
+    assert out.shape == expect
+    # and match params built through the training forward (same seed)
+    ref = _init(core, latents, text, speed)
+    a = jax.tree_util.tree_structure(variables["params"])
+    b = jax.tree_util.tree_structure(ref["params"])
+    assert a == b
