@@ -86,9 +86,19 @@ class EncoderBlock(nn.Module):
 
 class DecoderBlock(nn.Module):
     """Bottleneck residual, 1x1 + 2x (3x3) + 3x3
-    (reference vqvae_model.py:147-166)."""
+    (reference vqvae_model.py:147-166).
+
+    ``upsample=True`` fuses a preceding 2x nearest-neighbor upsample into
+    the block: relu and the two 1x1 convs (bottleneck entry + identity
+    path) are pointwise, so they commute exactly with nearest upsampling —
+    computing them at LOW resolution then upsampling is bitwise-identical
+    arithmetic per output pixel at 1/4 the FLOPs, and the materialized
+    upsampled tensor shrinks from dim_out to dim_out/4 channels (the
+    decode step's dominant HBM traffic). Parameter names/shapes are
+    unchanged, so checkpoints are interchangeable with the naive order."""
 
     dim_out: int
+    upsample: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -98,6 +108,9 @@ class DecoderBlock(nn.Module):
             idp = nn.Conv(self.dim_out, (1, 1), kernel_init=_conv_init)(x)
         h = nn.relu(x)
         h = nn.Conv(dim_hid, (1, 1), kernel_init=_conv_init)(h)
+        if self.upsample:
+            h = _upsample_nearest(h)
+            idp = _upsample_nearest(idp)
         h = nn.relu(h)
         h = nn.Conv(dim_hid, (3, 3), padding=1, kernel_init=_conv_init)(h)
         h = nn.relu(h)
@@ -174,12 +187,9 @@ class _Decoder8(nn.Module):
     @nn.compact
     def __call__(self, z, train: bool = True):
         z = DecoderBlock(2 * self.dim)(z)
-        z = _upsample_nearest(z)
-        z = DecoderBlock(self.dim)(z)
-        z = _upsample_nearest(z)
-        z = DecoderBlock(self.dim)(z)
-        z = _upsample_nearest(z)
-        z = DecoderBlock(self.dim)(z)
+        z = DecoderBlock(self.dim, upsample=True)(z)
+        z = DecoderBlock(self.dim, upsample=True)(z)
+        z = DecoderBlock(self.dim, upsample=True)(z)
         z = nn.relu(z)
         z = nn.Conv(self.out_dim, (1, 1), kernel_init=_conv_init)(z)
         return nn.tanh(z)

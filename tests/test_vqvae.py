@@ -106,3 +106,22 @@ def test_training_reduces_loss(mesh8):
         losses.append(float(aux["total"]))
     assert losses[-1] < losses[0] * 0.8, losses
     assert int(state.step) == 12
+
+
+def test_decoder_block_fused_upsample_exact():
+    """DecoderBlock(upsample=True)(x) must equal
+    DecoderBlock()(upsample(x)) with the SAME params: relu and the 1x1
+    convs commute exactly with nearest-neighbor upsampling. Checked for
+    both the channel-preserving and channel-changing identity paths."""
+    from mage_tpu.models.vqvae import DecoderBlock, _upsample_nearest
+
+    rng = np.random.RandomState(0)
+    for cin, cout in [(32, 32), (64, 32)]:
+        x = jnp.asarray(rng.randn(2, 6, 6, cin).astype(np.float32))
+        fused = DecoderBlock(cout, upsample=True)
+        naive = DecoderBlock(cout, upsample=False)
+        variables = fused.init(jax.random.PRNGKey(1), x)
+        out_fused = fused.apply(variables, x)
+        out_naive = naive.apply(variables, _upsample_nearest(x))
+        assert out_fused.shape == (2, 12, 12, cout)
+        np.testing.assert_array_equal(np.asarray(out_fused), np.asarray(out_naive))
