@@ -13,6 +13,7 @@ an rng.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Mapping, Sequence
 
 import flax.linen as nn
@@ -250,8 +251,10 @@ class FirstStageKL:
     # the KL-AE's ResNet enc/dec (ch 128, ch_mult [1,2,4,4]) materializes
     # ~8x the activation bytes per 128px frame of the VQ-VAE f8 stack;
     # batch-folded frame chunks must be correspondingly smaller to fit v5e
-    # HBM (measured: 480 frames at 128px OOM unchunked; 128 fits)
-    frame_chunk: int = 128
+    # HBM (measured: 480 frames at 128px OOM unchunked; 128 fits).
+    # MAGE_KL_FRAME_CHUNK overrides (smaller -> lower peak HBM, more
+    # serialization).
+    frame_chunk: int = int(os.environ.get("MAGE_KL_FRAME_CHUNK", "128"))
 
     def encode(self, videos: jax.Array, rng: jax.Array, variables=None) -> jax.Array:
         """(B, T, H, W, C) -> sampled latents (B, T, h, w, z) — stochastic
