@@ -28,6 +28,7 @@ from typing import Literal
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
@@ -64,10 +65,56 @@ def _attn_kernel(n_head: int, q_ref, k_ref, v_ref, bias_ref, o_ref):
         o_ref[:, sl] = acc.astype(o_ref.dtype)
 
 
+def _attn_kernel_v2(n_head: int, q_ref, k_ref, v_ref, bias_ref, o_ref, s_ref):
+    """Full-lane variant of ``_attn_kernel``: every VPU op runs on the flat
+    (tile_n, D) layout (100% lane utilization at D >= 128) and the per-head
+    segment reductions go through the MXU as matmuls with block-diagonal
+    0/1 indicator matrices, instead of 2 x heads x L quarter-lane
+    (tile_n, head_dim) slice ops. Three statically unrolled passes over L:
+    scores (+running max), exp/normalizer, weighted values.
+
+    s_ref: (tile_n, L * n_head) f32 scratch holding all heads' scores,
+    L-major (column l * n_head + h).
+    """
+    length = k_ref.shape[0]
+    d = q_ref.shape[1]
+    hd = d // n_head
+    scale = 1.0 / (hd**0.5)
+
+    # head indicator: seg[c, h] = 1 iff channel c belongs to head h
+    ch = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 0)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (d, n_head), 1)
+    seg = (ch // hd == hh).astype(jnp.float32)  # (D, H)
+
+    q = q_ref[:, :].astype(jnp.float32) * scale  # (N, D)
+    m = jnp.full((q.shape[0], n_head), NEG_INF, jnp.float32)
+    for l in range(length):
+        qk = q * k_ref[l, :, :].astype(jnp.float32)  # (N, D) full-lane
+        scores = (
+            jnp.dot(qk, seg, preferred_element_type=jnp.float32)
+            + bias_ref[0, l].astype(jnp.float32)
+        )  # (N, H)
+        s_ref[:, l * n_head : (l + 1) * n_head] = scores
+        m = jnp.maximum(m, scores)
+    z = jnp.zeros_like(m)
+    for l in range(length):
+        e = jnp.exp(s_ref[:, l * n_head : (l + 1) * n_head] - m)
+        s_ref[:, l * n_head : (l + 1) * n_head] = e
+        z = z + e
+    acc = jnp.zeros(q.shape, jnp.float32)
+    segT = seg.T  # (H, D)
+    for l in range(length):
+        w = s_ref[:, l * n_head : (l + 1) * n_head] / z  # (N, H)
+        w_full = jnp.dot(w, segT, preferred_element_type=jnp.float32)
+        acc = acc + w_full * v_ref[l, :, :].astype(jnp.float32)
+    o_ref[:, :] = acc.astype(o_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "tile_n", "interpret")
+    jax.jit, static_argnames=("n_head", "tile_n", "interpret", "version")
 )
-def _attn_pallas(q, cache_k, cache_v, bias, n_head, tile_n=128, interpret=False):
+def _attn_pallas(q, cache_k, cache_v, bias, n_head, tile_n=128, interpret=False,
+                 version=1):
     # VMEM budget: K+V blocks are 2 * L * tile_n * D * itemsize — at the
     # flagship shape (L=16, D=512) tile 128 keeps f32 under 9 MB (bf16 4.5)
     n, d = q.shape
@@ -78,8 +125,18 @@ def _attn_pallas(q, cache_k, cache_v, bias, n_head, tile_n=128, interpret=False)
         cache_k = jnp.pad(cache_k, ((0, 0), (0, n_pad - n), (0, 0)))
         cache_v = jnp.pad(cache_v, ((0, 0), (0, n_pad - n), (0, 0)))
     grid = (n_pad // tile_n,)
+    kernel = (
+        functools.partial(_attn_kernel, n_head)
+        if version == 1
+        else functools.partial(_attn_kernel_v2, n_head)
+    )
+    scratch = (
+        []
+        if version == 1
+        else [pltpu.VMEM((tile_n, length * n_head), jnp.float32)]
+    )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, n_head),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
@@ -89,6 +146,7 @@ def _attn_pallas(q, cache_k, cache_v, bias, n_head, tile_n=128, interpret=False)
         ],
         out_specs=pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), q.dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(q, cache_k, cache_v, bias)
     return out[:n]
@@ -156,14 +214,16 @@ def cached_slot_attention(
         impl = os.environ.get(
             "MAGE_CACHED_ATTN", "pallas" if _use_pallas_default() else "xla"
         )
-    if impl not in ("pallas", "pallas_interpret", "xla"):
+    versions = {"pallas": 1, "pallas2": 2,
+                "pallas_interpret": 1, "pallas2_interpret": 2}
+    if impl != "xla" and impl not in versions:
         raise ValueError(
-            f"MAGE_CACHED_ATTN/impl must be pallas|pallas_interpret|xla, got {impl!r}"
+            "MAGE_CACHED_ATTN/impl must be pallas|pallas2|xla"
+            f"|pallas_interpret|pallas2_interpret, got {impl!r}"
         )
-    if impl == "pallas":
+    if impl in versions:
         return _attn_pallas(q, cache_k, cache_v, bias, n_head,
-                            tile_n=_pick_tile(q.shape[0]))
-    if impl == "pallas_interpret":
-        return _attn_pallas(q, cache_k, cache_v, bias, n_head,
-                            tile_n=_pick_tile(q.shape[0]), interpret=True)
+                            tile_n=_pick_tile(q.shape[0]),
+                            interpret=impl.endswith("_interpret"),
+                            version=versions[impl])
     return _attn_xla(q, cache_k, cache_v, bias, n_head)

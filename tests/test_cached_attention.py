@@ -66,3 +66,27 @@ def test_pallas_interpret_pads_ragged_n():
     np.testing.assert_allclose(
         np.asarray(out_k), np.asarray(out_x), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("pos", [0, 3, L - 1])
+def test_pallas_v2_interpret_matches_xla(pos):
+    """The full-lane indicator-matmul kernel must be numerically identical
+    to the per-head-slice kernel / XLA math."""
+    q, ck, cv = _inputs(seed=3)
+    bias = jnp.where(jnp.arange(L)[None, :] <= pos, 0.0, -1e9).astype(jnp.float32)
+    out_k = _attn_pallas(q, ck, cv, bias, HEADS, tile_n=16, interpret=True,
+                         version=2)
+    out_x = _attn_xla(q, ck, cv, bias, HEADS)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_x), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pallas_v2_interpret_ragged_and_dispatch():
+    q, ck, cv = _inputs(seed=4)
+    out_d = cached_slot_attention(q, ck, cv, jnp.int32(L - 1), HEADS,
+                                  impl="pallas2_interpret")
+    out_x = cached_slot_attention(q, ck, cv, jnp.int32(L - 1), HEADS, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_x), rtol=1e-5, atol=1e-6
+    )
