@@ -131,9 +131,20 @@ def main():
         _, ys = jax.lax.scan(body, x, None, length=frames_length - 1)
         return jnp.sum(ys)
 
-    variants = ["full", "trunk_only", "t_only", "spatial_only"]
-    results = {}
-    for variant in variants:
+    # (variant, attention impl) matrix; the impl env is read at trace time,
+    # so re-jitting per cell picks it up. Spatial-only has no cached
+    # attention, so the impl sweep is skipped there.
+    impls = os.environ.get("BENCH_IMPLS", "").split(",")
+    impls = [i for i in impls if i] or [os.environ.get("MAGE_CACHED_ATTN", "")]
+    cells = [("full", i) for i in impls]
+    cells += [("trunk_only", impls[0]), ("t_only", impls[0])]
+    cells += [("t_only", i) for i in impls[1:]]
+    cells += [("spatial_only", impls[0])]
+    for variant, impl in cells:
+        if impl:
+            os.environ["MAGE_CACHED_ATTN"] = impl
+        else:
+            os.environ.pop("MAGE_CACHED_ATTN", None)
         fn = jax.jit(
             lambda p, l0, t, s, v=variant: core.apply(
                 {"params": p},
@@ -152,10 +163,8 @@ def main():
         for _ in range(n):
             float(fn(params, latents0, text, speed))
         dt = max((time.perf_counter() - t0) / n - rtt, 0.0)
-        results[variant] = round(dt * 1e3, 2)
-        print(json.dumps({"variant": variant, "ms": results[variant],
-                          "impl": os.environ.get("MAGE_CACHED_ATTN", "auto")}),
-              flush=True)
+        print(json.dumps({"variant": variant, "ms": round(dt * 1e3, 2),
+                          "impl": impl or "auto"}), flush=True)
 
     floor = jax.jit(scan_floor)
     x = jnp.ones((8, 8, 8), dtype)
