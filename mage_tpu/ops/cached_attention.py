@@ -152,6 +152,63 @@ def _attn_pallas(q, cache_k, cache_v, bias, n_head, tile_n=128, interpret=False,
     return out[:n]
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_attn(n_head: int, version: int, interpret: bool):
+    """GSPMD-partitionable wrapper for the Pallas kernel.
+
+    A bare pallas_call lowers to a custom call XLA cannot split, so under a
+    batch-sharded mesh GSPMD would all-gather the whole (L, N, D) cache
+    around it. The op is embarrassingly row-parallel over N (= batch*h*w;
+    batch sharding shards N), so custom_partitioning declares exactly that:
+    each device runs the kernel on its N-rows; L, D, and the bias stay
+    replicated. The sharding_rule covers the shardy partitioner (JAX >= 0.9
+    default); partition/infer cover GSPMD."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def attn(q, ck, cv, bias):
+        return _attn_pallas(q, ck, cv, bias, n_head,
+                            tile_n=_pick_tile(q.shape[0]),
+                            interpret=interpret, version=version)
+
+    def _n_axis(arg_shapes):
+        qs = getattr(arg_shapes[0].sharding, "spec", None)
+        if qs and len(qs) > 0 and qs[0] is not None:
+            return qs[0]
+        ks = getattr(arg_shapes[1].sharding, "spec", None)
+        if ks and len(ks) > 1 and ks[1] is not None:
+            return ks[1]
+        return None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_n_axis(arg_shapes), None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        n = _n_axis(arg_shapes)
+        arg_shardings = (
+            NamedSharding(mesh, P(n, None)),
+            NamedSharding(mesh, P(None, n, None)),
+            NamedSharding(mesh, P(None, n, None)),
+            NamedSharding(mesh, P(None, None)),
+        )
+
+        def lower(q, ck, cv, bias):
+            return _attn_pallas(q, ck, cv, bias, n_head,
+                                tile_n=_pick_tile(q.shape[0]),
+                                interpret=interpret, version=version)
+
+        return mesh, lower, NamedSharding(mesh, P(n, None)), arg_shardings
+
+    attn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # factors: i = N rows (partitionable), d/l/u replicated dims
+        sharding_rule="i d, l i d, l i d, u l -> i d",
+    )
+    return attn
+
+
 def _attn_xla(q, cache_k, cache_v, bias, n_head):
     """Exact reference attention math on the flat layout."""
     n, d = q.shape
@@ -197,12 +254,10 @@ def cached_slot_attention(
 ) -> jax.Array:
     """Single-slot causal multi-head attention against the cache -> (N, D).
 
-    Sharding note: the Pallas path is a custom call that GSPMD cannot split;
-    under a batch-sharded mesh XLA will insert all-gathers around it
-    (correct but slow). For multi-chip batch-parallel generation set
-    ``MAGE_CACHED_ATTN=xla`` (the fallback partitions trivially) or run the
-    sampler under ``shard_map``. Single-chip TPU — the benched path —
-    defaults to the kernel.
+    Sharding: the Pallas path is wrapped in ``custom_partitioning``
+    declaring row-parallelism over N, so batch-sharded meshes split the
+    kernel across devices with no collectives (tested in
+    tests/test_cached_attention.py::test_pallas_partitions_without_gather).
     """
     length = cache_k.shape[0]
     bias = jnp.where(
@@ -222,8 +277,7 @@ def cached_slot_attention(
             f"|pallas_interpret|pallas2_interpret, got {impl!r}"
         )
     if impl in versions:
-        return _attn_pallas(q, cache_k, cache_v, bias, n_head,
-                            tile_n=_pick_tile(q.shape[0]),
-                            interpret=impl.endswith("_interpret"),
-                            version=versions[impl])
+        return _sharded_attn(
+            n_head, versions[impl], impl.endswith("_interpret")
+        )(q, cache_k, cache_v, bias)
     return _attn_xla(q, cache_k, cache_v, bias, n_head)

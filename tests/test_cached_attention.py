@@ -90,3 +90,34 @@ def test_pallas_v2_interpret_ragged_and_dispatch():
     np.testing.assert_allclose(
         np.asarray(out_d), np.asarray(out_x), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pallas_partitions_without_gather(mesh8):
+    """Under a batch-sharded mesh the custom_partitioning wrapper must
+    split the kernel row-parallel: identical numerics to the replicated
+    run and NO gather/collective materializing the full cache."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q, ck, cv = _inputs(seed=5)
+    pos = jnp.int32(L - 1)
+    ns = NamedSharding(mesh8, P("data", None))
+    cs = NamedSharding(mesh8, P(None, "data", None))
+    qs = jax.device_put(q, ns)
+    cks = jax.device_put(ck, cs)
+    cvs = jax.device_put(cv, cs)
+
+    fn = jax.jit(
+        lambda a, b, c: cached_slot_attention(
+            a, b, c, pos, HEADS, impl="pallas_interpret"
+        ),
+        in_shardings=(ns, cs, cs),
+        out_shardings=ns,
+    )
+    out_sharded = fn(qs, cks, cvs)
+    out_ref = cached_slot_attention(q, ck, cv, pos, HEADS, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_ref), rtol=1e-5, atol=1e-6
+    )
+    hlo = fn.lower(qs, cks, cvs).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in hlo, coll
