@@ -113,6 +113,51 @@ def _vq_pallas(z_flat: jax.Array, codebook: jax.Array, tile_n: int = 512, interp
     return idx[:n, 0], codes[:n]
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_vq(interpret: bool):
+    """GSPMD/shardy-partitionable wrapper for the VQ kernel: tokens (N, D)
+    split row-parallel, the codebook replicated, no collectives — without
+    this, a batch-sharded jitted train step would all-gather every
+    device's tokens around the un-partitionable pallas custom call (see
+    the matching pattern in ops/cached_attention.py::_sharded_attn)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def vq(z_flat, codebook):
+        return _vq_pallas(z_flat, codebook, interpret=interpret)
+
+    def _n_axis(arg_shapes):
+        zs = getattr(arg_shapes[0].sharding, "spec", None)
+        if zs and len(zs) > 0:
+            return zs[0]
+        return None
+
+    def infer(mesh, arg_shapes, result_shape):
+        n = _n_axis(arg_shapes)
+        return (NamedSharding(mesh, P(n)), NamedSharding(mesh, P(n, None)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        n = _n_axis(arg_shapes)
+        arg_shardings = (
+            NamedSharding(mesh, P(n, None)),
+            NamedSharding(mesh, P(None, None)),
+        )
+        out_shardings = (NamedSharding(mesh, P(n)), NamedSharding(mesh, P(n, None)))
+
+        def lower(z_flat, codebook):
+            return _vq_pallas(z_flat, codebook, interpret=interpret)
+
+        return mesh, lower, out_shardings, arg_shardings
+
+    vq.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="i d, k d -> i, i d",
+    )
+    return vq
+
+
 def _vq_xla(z_flat: jax.Array, codebook: jax.Array):
     """XLA fallback (also the reference math: vqvae_model.py:14-25)."""
     z = z_flat.astype(jnp.float32)
@@ -150,10 +195,8 @@ def _nearest_with_codes(z, codebook, *, impl="auto"):
     z_flat = z.reshape(-1, d)
     if impl == "auto":
         impl = "pallas" if _use_pallas_default() else "xla"
-    if impl == "pallas":
-        idx, codes = _vq_pallas(z_flat, codebook)
-    elif impl == "pallas_interpret":
-        idx, codes = _vq_pallas(z_flat, codebook, interpret=True)
+    if impl in ("pallas", "pallas_interpret"):
+        idx, codes = _sharded_vq(impl == "pallas_interpret")(z_flat, codebook)
     else:
         idx, codes = _vq_xla(z_flat, codebook)
     return idx.reshape(batch_shape), codes.reshape(*batch_shape, d)

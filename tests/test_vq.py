@@ -128,3 +128,31 @@ def test_parity_with_torch_reference_semantics():
     np.testing.assert_allclose(float(l), float(loss_t.detach()), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gz), zt.grad.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gcb), cbt.grad.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_vq_pallas_partitions_without_gather(mesh8):
+    """Batch-sharded tokens through the Pallas VQ must split row-parallel:
+    identical ids/codes to the replicated run, no collectives in the HLO."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mage_tpu.ops.vq import _nearest_with_codes
+
+    rng = np.random.RandomState(11)
+    z = jnp.asarray(rng.randn(64, 16).astype(np.float32))
+    cb = jnp.asarray(rng.randn(32, 16).astype(np.float32))
+    ns = NamedSharding(mesh8, P("data", None))
+    rs = NamedSharding(mesh8, P(None, None))
+    zs = jax.device_put(z, ns)
+    cbs = jax.device_put(cb, rs)
+
+    fn = jax.jit(
+        lambda a, b: _nearest_with_codes(a, b, impl="pallas_interpret"),
+        in_shardings=(ns, rs),
+    )
+    idx_s, codes_s = fn(zs, cbs)
+    idx_r, codes_r = _nearest_with_codes(z, cb, impl="xla")
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+    np.testing.assert_allclose(np.asarray(codes_s), np.asarray(codes_r),
+                               rtol=1e-5, atol=1e-6)
+    hlo = fn.lower(zs, cbs).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in hlo, coll
