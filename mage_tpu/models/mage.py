@@ -559,6 +559,8 @@ class MAGECore(nn.Module):
         text: jax.Array,
         speed: Optional[jax.Array] = None,
         video_noise: Optional[jax.Array] = None,
+        temperature: float = 0.0,
+        top_k: int = 0,
     ) -> jax.Array:
         """KV-cached autoregressive generation: O(L) single-slot decoder
         passes instead of the reference's O(L^2) full passes
@@ -584,10 +586,22 @@ class MAGECore(nn.Module):
         converges to exactly the all-real statistics at the final slot. For
         frames_length == 2 (a single generated slot) the two samplers are
         identical (tested in tests/test_mage_model.py).
+
+        ``temperature``/``top_k`` (discrete head only; extension beyond the
+        reference, which decodes greedily): temperature > 0 samples ids
+        from softmax(logits / temperature), optionally restricted to the
+        top_k logits. temperature == 0 (default) is the reference's exact
+        greedy argmax.
         """
         x_emb0, anchor = self._prepare_generation(latents0, text, speed, video_noise)
         b, _, h, w, c = x_emb0.shape
         decoder = self.generate_model
+        assert temperature == 0.0 or self.use_cids, (
+            "temperature sampling only applies to the discrete head"
+        )
+        sample_key = (
+            self.make_rng("latent") if (self.use_cids and temperature > 0) else None
+        )
 
         cache = decoder.init_cache(b, h, w, x_emb0.dtype)
         _, cache = decoder.decode_slot(anchor, jnp.int32(0), cache, is_anchor=True)
@@ -599,7 +613,16 @@ class MAGECore(nn.Module):
             trunk, cache = decoder.decode_slot(slot_in, pos, cache)
             if self.use_cids:
                 pred = decoder.head_slot(trunk)
-                frame = jnp.argmax(pred, axis=-1).astype(jnp.int32)  # (B, h, w)
+                if temperature > 0:
+                    logits = pred.astype(jnp.float32) / temperature
+                    if 0 < top_k < self.codebook_size:
+                        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+                        logits = jnp.where(logits < kth, NEG_INF, logits)
+                    frame = jax.random.categorical(
+                        jax.random.fold_in(sample_key, pos), logits
+                    ).astype(jnp.int32)
+                else:
+                    frame = jnp.argmax(pred, axis=-1).astype(jnp.int32)  # (B, h, w)
             else:
                 frame, gn_state = decoder.head_causal(trunk, gn_state)
             next_emb = self.embed_latents(frame)

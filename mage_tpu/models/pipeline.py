@@ -299,6 +299,8 @@ class MagePipeline:
         fs_variables=None,
         cached: Optional[bool] = None,
         compute_dtype=None,
+        temperature: float = 0.0,
+        top_k: int = 0,
     ) -> jax.Array:
         """batch (first frame + text [+ speed]) -> full video (B, L, H, W, C)
         with the ground-truth first frame prepended (reference :686-691).
@@ -306,6 +308,9 @@ class MagePipeline:
         ``cached`` selects the O(L) KV-cached sampler (default for discrete
         ids, where it is exact; the continuous head defaults to the naive
         reference-parity loop — see MAGECore.generate_cached).
+
+        ``temperature``/``top_k`` enable stochastic id decoding on the
+        cached sampler (0 = the reference's greedy argmax; discrete only).
 
         ``compute_dtype`` (e.g. bfloat16) casts the stage-2 inputs crossing
         into the core so a caller passing bf16 ``params`` gets a fully-bf16
@@ -323,6 +328,11 @@ class MagePipeline:
                 latents0 = latents0.astype(compute_dtype)
             if speed is not None:
                 speed = speed.astype(compute_dtype)
+        kwargs = {}
+        if temperature > 0:
+            if not cached:
+                raise ValueError("temperature sampling requires cached=True")
+            kwargs = {"temperature": temperature, "top_k": top_k}
         gen_latents = self.core.apply(
             {"params": params},
             latents0,
@@ -330,6 +340,7 @@ class MagePipeline:
             speed,
             method="generate_cached" if cached else "generate",
             rngs={"latent": lat_rng},
+            **kwargs,
         )
         video = self.first_stage.decode(gen_latents, variables=fs_variables)
         return jnp.concatenate([first, video], axis=1)

@@ -37,6 +37,12 @@ def parse_args(argv=None):
                    help="bfloat16 stage-2 transformer for sampling (~1.4x on "
                         "v5e); the frozen first stage stays f32 so "
                         "conditioning ids match the f32 run")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="stochastic id decoding temperature (0 = greedy "
+                        "reference parity; discrete models only)")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="restrict stochastic decoding to the top-k logits "
+                        "(0 = no restriction; needs --temperature > 0)")
     return p.parse_args(argv)
 
 
@@ -130,7 +136,8 @@ def sampling(opt):
         compute_dtype = jnp.bfloat16
     gen = jax.jit(
         lambda p, batch, rng: pipeline.generate(
-            p, batch, rng, fs_variables=fs_vars, compute_dtype=compute_dtype
+            p, batch, rng, fs_variables=fs_vars, compute_dtype=compute_dtype,
+            temperature=opt.temperature, top_k=opt.top_k,
         )
     )
     rng = jax.random.PRNGKey(opt.seed)

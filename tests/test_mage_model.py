@@ -301,3 +301,28 @@ def test_init_through_generate_returns_concrete_params(use_cids, method):
     a = jax.tree_util.tree_structure(variables["params"])
     b = jax.tree_util.tree_structure(ref["params"])
     assert a == b
+
+
+def test_temperature_sampling():
+    """temperature=0 (default) stays the exact greedy path; temperature>0
+    draws valid, seed-deterministic ids; top_k=1 recovers greedy."""
+    core = _core(use_cids=True)
+    latents, text, speed = _batch(use_cids=True)
+    variables = _init(core, latents, text, speed)
+
+    def gen(**kw):
+        return core.apply(variables, latents[:, :1], text, speed,
+                          method="generate_cached",
+                          rngs={"latent": jax.random.PRNGKey(5)}, **kw)
+
+    greedy = gen()
+    hot = gen(temperature=1.5)
+    hot_again = gen(temperature=1.5)
+    cold_topk1 = gen(temperature=0.7, top_k=1)
+    assert hot.shape == greedy.shape
+    assert ((hot >= 0) & (hot < K)).all()
+    np.testing.assert_array_equal(np.asarray(hot), np.asarray(hot_again))
+    # top_k=1 restricts sampling to the argmax id -> exactly greedy
+    np.testing.assert_array_equal(np.asarray(cold_topk1), np.asarray(greedy))
+    # a hot draw should actually differ somewhere from greedy
+    assert np.asarray(hot != greedy).any()
