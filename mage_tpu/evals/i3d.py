@@ -1,0 +1,209 @@
+"""I3D (Inflated Inception-V1) feature extractor for FVD.
+
+The standard FVD protocol (Unterthiner et al., 2018) embeds videos with an
+I3D network trained on Kinetics-400 and takes the 400-d logits as
+features. No pretrained checkpoint ships in offline environments, so this
+module provides (a) the exact I3D architecture in flax, matching the
+widely-used ``pytorch-i3d`` (piergiaj) port layer-for-layer, and (b) a
+state_dict importer for its checkpoints (``rgb_imagenet.pt`` /
+``rgb_charades.pt``), making ``mage_tpu.evals.fvd.compute_fvd`` fully
+usable the moment a user supplies the standard weights:
+
+    from mage_tpu.evals.i3d import I3D, import_i3d_torch, make_extractor
+    variables = import_i3d_torch(torch.load("rgb_imagenet.pt"))
+    fvd = compute_fvd(real, gen, extractor=make_extractor(variables))
+
+Layout: NTHWC (videos (N, T, H, W, 3) in [-1, 1], T >= 9 after the
+temporal poolings; the canonical protocol resizes to 224x224, T=16).
+
+The reference repo computes no FVD (its tables come from outside the
+repo); this completes the evaluation subsystem beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Unit3D(nn.Module):
+    """Conv3D + BatchNorm + ReLU, pytorch-i3d ``Unit3D`` semantics
+    (SAME padding, no conv bias, BN eps 1e-3, momentum 0.9 torch = 0.1)."""
+
+    out_channels: int
+    kernel: tuple = (1, 1, 1)
+    stride: tuple = (1, 1, 1)
+    use_bn: bool = True
+    activation: bool = True
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.out_channels,
+            self.kernel,
+            strides=self.stride,
+            padding="SAME",
+            use_bias=self.use_bias,
+            name="conv3d",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-3,
+                name="bn",
+            )(x)
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
+
+def _max_pool_same(x, window, strides):
+    """torch MaxPool3dSamePadding: SAME-style asymmetric padding."""
+    pads = []
+    for w, s, size in zip(window, strides, x.shape[1:4]):
+        out = -(-size // s)
+        pad = max((out - 1) * s + w - size, 0)
+        pads.append((pad // 2, pad - pad // 2))
+    return nn.max_pool(x, window, strides=strides, padding=tuple(pads))
+
+
+class InceptionModule(nn.Module):
+    """Four-branch Inception block (1x1 / 3x3 / 3x3 / pool-proj)."""
+
+    out: tuple  # (b0, b1a, b1b, b2a, b2b, b3b)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b0 = Unit3D(self.out[0], name="b0")(x, train)
+        b1 = Unit3D(self.out[1], name="b1a")(x, train)
+        b1 = Unit3D(self.out[2], (3, 3, 3), name="b1b")(b1, train)
+        b2 = Unit3D(self.out[3], name="b2a")(x, train)
+        b2 = Unit3D(self.out[4], (3, 3, 3), name="b2b")(b2, train)
+        b3 = _max_pool_same(x, (3, 3, 3), (1, 1, 1))
+        b3 = Unit3D(self.out[5], name="b3b")(b3, train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+# (module name, spec): convs/pools in pytorch-i3d's VALID_ENDPOINTS order
+_INCEPTIONS = {
+    "Mixed_3b": (64, 96, 128, 16, 32, 32),
+    "Mixed_3c": (128, 128, 192, 32, 96, 64),
+    "Mixed_4b": (192, 96, 208, 16, 48, 64),
+    "Mixed_4c": (160, 112, 224, 24, 64, 64),
+    "Mixed_4d": (128, 128, 256, 24, 64, 64),
+    "Mixed_4e": (112, 144, 288, 32, 64, 64),
+    "Mixed_4f": (256, 160, 320, 32, 128, 128),
+    "Mixed_5b": (256, 160, 320, 32, 128, 128),
+    "Mixed_5c": (384, 192, 384, 48, 128, 128),
+}
+
+
+class I3D(nn.Module):
+    """Inflated Inception-V1, Kinetics-400 head (logits, pre-softmax)."""
+
+    num_classes: int = 400
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), name="Conv3d_1a_7x7")(x, train)
+        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        x = Unit3D(64, name="Conv3d_2b_1x1")(x, train)
+        x = Unit3D(192, (3, 3, 3), name="Conv3d_2c_3x3")(x, train)
+        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        x = InceptionModule(_INCEPTIONS["Mixed_3b"], name="Mixed_3b")(x, train)
+        x = InceptionModule(_INCEPTIONS["Mixed_3c"], name="Mixed_3c")(x, train)
+        x = _max_pool_same(x, (3, 3, 3), (2, 2, 2))
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = InceptionModule(_INCEPTIONS[name], name=name)(x, train)
+        x = _max_pool_same(x, (2, 2, 2), (2, 2, 2))
+        x = InceptionModule(_INCEPTIONS["Mixed_5b"], name="Mixed_5b")(x, train)
+        x = InceptionModule(_INCEPTIONS["Mixed_5c"], name="Mixed_5c")(x, train)
+        # global average over T, H, W then the 1x1x1 logits conv
+        x = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        x = Unit3D(
+            self.num_classes, use_bn=False, activation=False, use_bias=True,
+            name="logits",
+        )(x, train)
+        return x[:, 0, 0, 0, :]  # (N, num_classes)
+
+
+# -- torch (pytorch-i3d) state_dict import ---------------------------------
+
+# pytorch-i3d branch names -> ours
+_BRANCH = {"b0": "b0", "b1a": "b1a", "b1b": "b1b",
+           "b2a": "b2a", "b2b": "b2b", "b3b": "b3b"}
+
+
+def _to_np(t) -> np.ndarray:
+    return np.asarray(getattr(t, "detach", lambda: t)().cpu().numpy()
+                      if hasattr(t, "detach") else t)
+
+
+def _conv_w(t) -> np.ndarray:
+    # torch conv3d weight (O, I, T, H, W) -> flax (T, H, W, I, O)
+    return _to_np(t).transpose(2, 3, 4, 1, 0)
+
+
+def import_i3d_torch(state_dict: Mapping[str, Any]) -> dict:
+    """pytorch-i3d state_dict -> flax variables {params, batch_stats}.
+
+    Expects the piergiaj/pytorch-i3d naming: e.g.
+    ``Conv3d_1a_7x7.conv3d.weight``, ``Mixed_3b.b1a.bn.running_mean``,
+    ``logits.conv3d.{weight,bias}``.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(leaf)
+
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        mod = parts[0]
+        if mod.startswith("Mixed"):
+            unit = [mod, _BRANCH[parts[1]]]
+            rest = parts[2:]
+        else:
+            unit = [mod]
+            rest = parts[1:]
+        if rest[0] == "conv3d":
+            if rest[1] == "weight":
+                put(params, unit + ["conv3d", "kernel"], _conv_w(val))
+            else:
+                put(params, unit + ["conv3d", "bias"], _to_np(val))
+        elif rest[0] == "bn":
+            name = rest[1]
+            if name == "weight":
+                put(params, unit + ["bn", "scale"], _to_np(val))
+            elif name == "bias":
+                put(params, unit + ["bn", "bias"], _to_np(val))
+            elif name == "running_mean":
+                put(stats, unit + ["bn", "mean"], _to_np(val))
+            elif name == "running_var":
+                put(stats, unit + ["bn", "var"], _to_np(val))
+            # num_batches_tracked: dropped
+    return {"params": params, "batch_stats": stats}
+
+
+def make_extractor(variables: Mapping[str, Any], batch_size: int = 8):
+    """(N, T, H, W, 3) uint8 [0,255] or float [-1,1] -> (N, 400) logits,
+    jitted; the canonical FVD feature fn for compute_fvd."""
+    model = I3D()
+    apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    def extract(videos: np.ndarray) -> np.ndarray:
+        x = np.asarray(videos)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 127.5 - 1.0
+        return np.asarray(apply(variables, jnp.asarray(x, jnp.float32)))
+
+    return extract
