@@ -10,6 +10,10 @@ environments, so the extractor is injected:
     fvd = compute_fvd(real_videos, gen_videos, extractor=my_i3d_fn)
 
 ``extractor``: callable (N, T, H, W, 3) uint8/float -> (N, D) features.
+
+The standard extractor itself ships in ``mage_tpu.evals.i3d``: the I3D
+architecture in flax plus a pytorch-i3d checkpoint importer —
+``make_extractor(import_i3d_torch(torch.load("rgb_imagenet.pt")))``.
 """
 
 from __future__ import annotations
