@@ -271,11 +271,16 @@ def cached_slot_attention(
         )
     versions = {"pallas": 1, "pallas2": 2,
                 "pallas_interpret": 1, "pallas2_interpret": 2}
-    if impl != "xla" and impl not in versions:
+    raw = {"pallas_raw": 1, "pallas2_raw": 2}  # skip custom_partitioning
+    if impl != "xla" and impl not in versions and impl not in raw:
         raise ValueError(
-            "MAGE_CACHED_ATTN/impl must be pallas|pallas2|xla"
-            f"|pallas_interpret|pallas2_interpret, got {impl!r}"
+            "MAGE_CACHED_ATTN/impl must be xla|pallas|pallas2"
+            "|pallas_interpret|pallas2_interpret|pallas_raw|pallas2_raw, "
+            f"got {impl!r}"
         )
+    if impl in raw:
+        return _attn_pallas(q, cache_k, cache_v, bias, n_head,
+                            tile_n=_pick_tile(q.shape[0]), version=raw[impl])
     if impl in versions:
         return _sharded_attn(
             n_head, versions[impl], impl.endswith("_interpret")

@@ -195,7 +195,9 @@ def _nearest_with_codes(z, codebook, *, impl="auto"):
     z_flat = z.reshape(-1, d)
     if impl == "auto":
         impl = "pallas" if _use_pallas_default() else "xla"
-    if impl in ("pallas", "pallas_interpret"):
+    if impl == "pallas_raw":  # escape hatch: skip custom_partitioning
+        idx, codes = _vq_pallas(z_flat, codebook)
+    elif impl in ("pallas", "pallas_interpret"):
         idx, codes = _sharded_vq(impl == "pallas_interpret")(z_flat, codebook)
     else:
         idx, codes = _vq_xla(z_flat, codebook)
