@@ -282,7 +282,16 @@ def cached_slot_attention(
         return _attn_pallas(q, cache_k, cache_v, bias, n_head,
                             tile_n=_pick_tile(q.shape[0]), version=raw[impl])
     if impl in versions:
-        return _sharded_attn(
-            n_head, versions[impl], impl.endswith("_interpret")
-        )(q, cache_k, cache_v, bias)
+        # custom_partitioning's partition callbacks are Python, which
+        # remote/AOT compile services cannot invoke — and a single-device
+        # program has nothing to partition. Engage the wrapper only when
+        # several devices are visible (the multi-chip serving/test path).
+        if jax.device_count() > 1:
+            return _sharded_attn(
+                n_head, versions[impl], impl.endswith("_interpret")
+            )(q, cache_k, cache_v, bias)
+        return _attn_pallas(q, cache_k, cache_v, bias, n_head,
+                            tile_n=_pick_tile(q.shape[0]),
+                            interpret=impl.endswith("_interpret"),
+                            version=versions[impl])
     return _attn_xla(q, cache_k, cache_v, bias, n_head)

@@ -198,7 +198,14 @@ def _nearest_with_codes(z, codebook, *, impl="auto"):
     if impl == "pallas_raw":  # escape hatch: skip custom_partitioning
         idx, codes = _vq_pallas(z_flat, codebook)
     elif impl in ("pallas", "pallas_interpret"):
-        idx, codes = _sharded_vq(impl == "pallas_interpret")(z_flat, codebook)
+        # single-device: skip custom_partitioning (its Python partition
+        # callbacks break remote/AOT compile services; nothing to split)
+        if jax.device_count() > 1:
+            idx, codes = _sharded_vq(impl == "pallas_interpret")(z_flat, codebook)
+        else:
+            idx, codes = _vq_pallas(
+                z_flat, codebook, interpret=impl == "pallas_interpret"
+            )
     else:
         idx, codes = _vq_xla(z_flat, codebook)
     return idx.reshape(batch_shape), codes.reshape(*batch_shape, d)
