@@ -108,10 +108,22 @@ def main():
     text = jnp.asarray(text)
     speed = jnp.asarray(rng.rand(batch), dtype)
 
-    params = core.init(
-        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)},
-        latents0, text, speed, method="generate_cached",
-    )["params"]
+    # init through the jitted TRAINING forward: eager init through the
+    # relay would standalone-jit the f32 full-size attention kernel (VMEM
+    # OOM at f32 tile x full-L cache) and pay hundreds of RTTs. The param
+    # tree is identical to generate-path init (tested in
+    # tests/test_mage_model.py::test_init_through_generate_returns_concrete_params).
+    full_latents = jnp.asarray(
+        np.random.RandomState(1).randint(0, 512, (batch, frames_length, res, res)),
+        jnp.int32,
+    )
+    params = jax.jit(
+        lambda: core.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(3),
+             "latent": jax.random.PRNGKey(1)},
+            full_latents, text, speed, train=False,
+        )["params"]
+    )()
     if dtype != jnp.float32:
         params = jax.tree_util.tree_map(
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
