@@ -233,10 +233,21 @@ def _use_pallas_default() -> bool:
         return False
 
 
-def _pick_tile(n: int, cap: int = 128) -> int:
+def _pick_tile(n: int, cap: int | None = None) -> int:
     """Largest multiple-of-8 divisor of ``n`` up to ``cap`` — a tile that
     divides N exactly avoids jnp.pad materializing a copy of the whole
-    (L, N, D) cache on every call (the traffic this kernel exists to cut)."""
+    (L, N, D) cache on every call (the traffic this kernel exists to cut).
+
+    The default cap (overridable via MAGE_ATTN_TILE) keeps the kernel's
+    scoped-VMEM footprint — double-buffered (L, tile, D) K/V blocks PLUS
+    the full (N, D) output, which XLA's memory-space assignment likes to
+    keep in VMEM (S(1)) when the consumer is adjacent — under the 16 MB
+    v5e budget at flagship shapes (L=16, D=512, N=8192 bf16); measured
+    empirically on hardware, see BENCH_NOTES.md."""
+    import os
+
+    if cap is None:
+        cap = int(os.environ.get("MAGE_ATTN_TILE", "32"))
     for t in range(min(cap, n), 7, -1):
         if n % t == 0 and t % 8 == 0:
             return t
