@@ -14,10 +14,14 @@ Per CLAUDE.md hard-won Mosaic/v5e rules every kernel intermediate stays
 2-D (1-D shapes trigger register-spill VMEM blowups); the per-head
 score/value loops are static unrolls over L (<= ~20) and heads.
 
-``cached_slot_attention`` dispatches to the kernel on TPU and to an
-einsum fallback elsewhere; the fallback is the exact reference math
-(softmax(q.K^T/sqrt(hd) + causal bias).V per head) and is what the
-exactness tests pin against the naive sampler.
+``cached_slot_attention`` defaults to the XLA einsum path — the exact
+reference math (softmax(q.K^T/sqrt(hd) + causal bias).V per head), and
+the fastest end-to-end on v5e at flagship shapes (BENCH_NOTES.md:
+3509 f/s vs 3326 for the best kernel) — with two opt-in Pallas kernels
+(`MAGE_CACHED_ATTN=pallas|pallas2`): v1 per-head-slice, v2 full-lane
+with indicator-matmul head reductions. The kernels keep all HBM operands
+unpadded and are candidates for longer-L / wider-D regimes where the
+(..., heads, 32) padding dominates.
 """
 
 from __future__ import annotations
@@ -227,10 +231,13 @@ def _attn_xla(q, cache_k, cache_v, bias, n_head):
 
 
 def _use_pallas_default() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:  # pragma: no cover
-        return False
+    """Measured on v5e at flagship shapes (L=16, N=8192, D=512, bf16,
+    BENCH_NOTES.md): end-to-end generation is 3509 f/s with the XLA
+    attention vs 3326 (v2 kernel) / 1588 (v1, tile 32) — XLA's fused
+    einsum wins at these small per-slot attention shapes, so it is the
+    default everywhere; MAGE_CACHED_ATTN=pallas2|pallas opts into the
+    kernels (candidates for larger L/D regimes)."""
+    return False
 
 
 def _pick_tile(n: int, cap: int | None = None) -> int:
