@@ -54,18 +54,32 @@ def main():
             )
         x = jnp.asarray(x_host, dtype)
 
+        # n_inner recon round trips inside ONE dispatch: small configs are
+        # faster than the relay's RTT jitter, so a single-iteration fetch
+        # measures nothing. The acc -> x feedback (scaled to denormal
+        # range) defeats loop-invariant hoisting without changing values.
+        n_inner = 20
+
         @jax.jit
-        def recon_checksum(v, xb):
-            ids = model.apply(v, xb, method="encode", mutable=False)
-            out = model.apply(v, ids, method="decode", mutable=False)
-            return jnp.sum(out.astype(jnp.float32))
+        def recon_checksum(v, x0):
+            def body(carry, _):
+                xb, acc = carry
+                ids = model.apply(v, xb, method="encode", mutable=False)
+                out = model.apply(v, ids, method="decode", mutable=False)
+                acc = acc + jnp.sum(out.astype(jnp.float32))
+                xb = x0 + (acc * 1e-38).astype(x0.dtype)
+                return (xb, acc), None
+
+            (_, acc), _ = jax.lax.scan(body, (x0, jnp.float32(0)), None,
+                                       length=n_inner)
+            return acc
 
         assert np.isfinite(float(recon_checksum(variables, x)))
-        n_iter = 5
+        n_iter = 3
         t0 = time.perf_counter()
         for _ in range(n_iter):
             float(recon_checksum(variables, x))
-        dt = max((time.perf_counter() - t0) / n_iter - rtt, 1e-9)
+        dt = max((time.perf_counter() - t0) / n_iter - rtt, 1e-9) / n_inner
         print(json.dumps({
             "metric": f"{name}_recon_imgs_per_sec_per_chip",
             "value": round(batch / dt, 1),
