@@ -25,6 +25,15 @@ import jax.numpy as jnp
 NEG_INF = -1e9  # additive mask value (float('-inf') breaks softmax grads)
 
 
+def _spatial_impl() -> str:
+    """MAGE_SPATIAL_ATTN: xla (default, measured fastest) | pallas |
+    pallas_interpret — the unmasked axial-attention impl for eval-mode
+    spatial blocks (ops/axial_attention.py)."""
+    import os
+
+    return os.environ.get("MAGE_SPATIAL_ATTN", "xla")
+
+
 def quick_gelu(x: jax.Array) -> jax.Array:
     """x * sigmoid(1.702 x) (reference mage_model.py:11-13)."""
     return x * jax.nn.sigmoid(1.702 * x)
@@ -160,7 +169,24 @@ class AxialAttentionBlock(nn.Module):
 
         drop = lambda y: self.resid_dropout(y, deterministic=not train)
         h = self.ln_1(seq)
-        seq = seq + drop(self.attn(h, h, h, bias=attn_bias, train=train))
+        if attn_bias is None and not train and _spatial_impl() != "xla":
+            # opt-in fused flat-layout attention (MAGE_SPATIAL_ATTN=pallas):
+            # same projections, heads split in VMEM instead of a padded
+            # (..., heads, 32) HBM layout — see ops/axial_attention.py
+            from mage_tpu.ops.axial_attention import axial_slot_attention
+
+            g, s = h.shape[0], h.shape[1]
+            qh = self.attn.q_proj(h)
+            kh, vh = self.attn.project_kv(h)
+            o = axial_slot_attention(
+                qh.reshape(g, s, -1), kh.reshape(g, s, -1),
+                vh.reshape(g, s, -1), self.n_head, impl=_spatial_impl(),
+            )
+            hd = self.d_model // self.n_head
+            attn_out = self.attn.out_proj(o.reshape(g, s, self.n_head, hd))
+        else:
+            attn_out = self.attn(h, h, h, bias=attn_bias, train=train)
+        seq = seq + drop(attn_out)
         seq = seq + drop(self.mlp(self.ln_2(seq)))
 
         return jnp.moveaxis(seq.reshape(shape), -2, axis)

@@ -1,0 +1,49 @@
+"""Fused flat-layout axial attention: kernel (interpret) vs the einsum
+math, and the block-level opt-in path vs the standard block."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mage_tpu.ops.axial_attention import _axial_pallas, _axial_xla, axial_slot_attention
+
+G, S, D, H = 24, 6, 64, 2
+
+
+def _inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    return tuple(jnp.asarray(rng.randn(G, S, D).astype(np.float32))
+                 for _ in range(3))
+
+
+def test_kernel_matches_einsum():
+    q, k, v = _inputs()
+    out_k = _axial_pallas(q, k, v, H, tile_g=8, interpret=True)
+    out_x = _axial_xla(q, k, v, H)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_pads_ragged_g():
+    q, k, v = _inputs(seed=1)
+    out_k = _axial_pallas(q, k, v, H, tile_g=16, interpret=True)  # 24 % 16 != 0
+    out_x = _axial_xla(q, k, v, H)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_block_optin_path_matches_standard(monkeypatch):
+    from mage_tpu.models.layers import AxialAttentionBlock
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 1, 4, 6, 32).astype(np.float32))  # (B,T,H,W,C)
+    block = AxialAttentionBlock(d_model=32, n_head=4, dropout=0.0, axial_dim=2)
+    variables = block.init(jax.random.PRNGKey(0), x, train=False)
+    ref = block.apply(variables, x, train=False)
+    monkeypatch.setenv("MAGE_SPATIAL_ATTN", "pallas_interpret")
+    out = block.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
