@@ -62,16 +62,18 @@ def main():
 
         @jax.jit
         def recon_checksum(v, x0):
-            def body(carry, _):
-                xb, acc = carry
+            def body(acc, i):
+                # roll by the (traced) iteration index: a real, cheap data
+                # dependency the optimizer cannot hoist or CSE away (a
+                # denormal-feedback trick underflowed in bf16 and XLA
+                # hoisted the whole body -> nonsense numbers)
+                xb = jnp.roll(x0, i, axis=0)
                 ids = model.apply(v, xb, method="encode", mutable=False)
                 out = model.apply(v, ids, method="decode", mutable=False)
-                acc = acc + jnp.sum(out.astype(jnp.float32))
-                xb = x0 + (acc * 1e-38).astype(x0.dtype)
-                return (xb, acc), None
+                return acc + jnp.sum(out.astype(jnp.float32)), None
 
-            (_, acc), _ = jax.lax.scan(body, (x0, jnp.float32(0)), None,
-                                       length=n_inner)
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(n_inner))
             return acc
 
         assert np.isfinite(float(recon_checksum(variables, x)))

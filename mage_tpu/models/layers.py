@@ -25,13 +25,23 @@ import jax.numpy as jnp
 NEG_INF = -1e9  # additive mask value (float('-inf') breaks softmax grads)
 
 
-def _spatial_impl() -> str:
-    """MAGE_SPATIAL_ATTN: xla (default, measured fastest) | pallas |
-    pallas_interpret — the unmasked axial-attention impl for eval-mode
-    spatial blocks (ops/axial_attention.py)."""
+def _spatial_impl(dtype=None) -> str:
+    """MAGE_SPATIAL_ATTN: pallas | pallas_interpret | xla — the unmasked
+    axial-attention impl for eval-mode spatial blocks
+    (ops/axial_attention.py). Default: the fused kernel on TPU for bf16
+    activations (measured +6.6% end-to-end generation: 3740 vs 3509 f/s,
+    BENCH_NOTES.md); xla elsewhere — f32 stays on the exact einsum so the
+    cached sampler's id-exactness proof is precision-for-precision."""
     import os
 
-    return os.environ.get("MAGE_SPATIAL_ATTN", "xla")
+    env = os.environ.get("MAGE_SPATIAL_ATTN")
+    if env:
+        return env
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return "pallas" if (on_tpu and dtype == jnp.bfloat16) else "xla"
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:
@@ -169,9 +179,9 @@ class AxialAttentionBlock(nn.Module):
 
         drop = lambda y: self.resid_dropout(y, deterministic=not train)
         h = self.ln_1(seq)
-        if attn_bias is None and not train and _spatial_impl() != "xla":
-            # opt-in fused flat-layout attention (MAGE_SPATIAL_ATTN=pallas):
-            # same projections, heads split in VMEM instead of a padded
+        if attn_bias is None and not train and _spatial_impl(h.dtype) != "xla":
+            # fused flat-layout attention (default for bf16 on TPU): same
+            # projections, heads split in VMEM instead of a padded
             # (..., heads, 32) HBM layout — see ops/axial_attention.py
             from mage_tpu.ops.axial_attention import axial_slot_attention
 
@@ -180,7 +190,7 @@ class AxialAttentionBlock(nn.Module):
             kh, vh = self.attn.project_kv(h)
             o = axial_slot_attention(
                 qh.reshape(g, s, -1), kh.reshape(g, s, -1),
-                vh.reshape(g, s, -1), self.n_head, impl=_spatial_impl(),
+                vh.reshape(g, s, -1), self.n_head, impl=_spatial_impl(h.dtype),
             )
             hd = self.d_model // self.n_head
             attn_out = self.attn.out_proj(o.reshape(g, s, self.n_head, hd))
