@@ -75,6 +75,46 @@ def _axial_pallas(q, k, v, n_head, tile_g=64, interpret=False):
     return out[:g]
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_axial(n_head: int, interpret: bool):
+    """Row-parallel (over G) custom_partitioning wrapper — same pattern
+    and rationale as ops/cached_attention.py::_sharded_attn; engaged only
+    at >1 device (Python partition callbacks break remote AOT compile)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def attn(q, k, v):
+        return _axial_pallas(q, k, v, n_head,
+                             tile_g=_pick_tile(q.shape[0], 64),
+                             interpret=interpret)
+
+    def _g_axis(arg_shapes):
+        spec = getattr(arg_shapes[0].sharding, "spec", None)
+        return spec[0] if spec and len(spec) > 0 else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_g_axis(arg_shapes), None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        g = _g_axis(arg_shapes)
+        sh = NamedSharding(mesh, P(g, None, None))
+
+        def lower(q, k, v):
+            return _axial_pallas(q, k, v, n_head,
+                                 tile_g=_pick_tile(q.shape[0], 64),
+                                 interpret=interpret)
+
+        return mesh, lower, sh, (sh, sh, sh)
+
+    attn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="g s d, g s d, g s d -> g s d",
+    )
+    return attn
+
+
 def _axial_xla(q, k, v, n_head):
     g, s, d = q.shape
     hd = d // n_head
@@ -97,9 +137,11 @@ def axial_slot_attention(
     impl: Literal["pallas", "pallas_interpret", "xla"] = "pallas",
 ) -> jax.Array:
     """Unmasked multi-head self-attention along S -> (G, S, D)."""
-    if impl == "pallas":
-        return _axial_pallas(q, k, v, n_head, tile_g=_pick_tile(q.shape[0], 64))
-    if impl == "pallas_interpret":
-        return _axial_pallas(q, k, v, n_head, tile_g=_pick_tile(q.shape[0], 64),
-                             interpret=True)
+    if impl in ("pallas", "pallas_interpret"):
+        interpret = impl == "pallas_interpret"
+        if jax.device_count() > 1:
+            return _sharded_axial(n_head, interpret)(q, k, v)
+        return _axial_pallas(q, k, v, n_head,
+                             tile_g=_pick_tile(q.shape[0], 64),
+                             interpret=interpret)
     return _axial_xla(q, k, v, n_head)

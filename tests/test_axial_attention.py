@@ -47,3 +47,22 @@ def test_block_optin_path_matches_standard(monkeypatch):
     out = block.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_axial_pallas_partitions_without_gather(mesh8):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q, k, v = _inputs(seed=3)
+    ns = NamedSharding(mesh8, P("data", None, None))
+    qs, ks, vs = (jax.device_put(t, ns) for t in (q, k, v))
+    fn = jax.jit(
+        lambda a, b, c: axial_slot_attention(a, b, c, H, impl="pallas_interpret"),
+        in_shardings=(ns, ns, ns), out_shardings=ns,
+    )
+    out = fn(qs, ks, vs)
+    ref = axial_slot_attention(q, k, v, H, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    hlo = fn.lower(qs, ks, vs).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in hlo, coll
