@@ -196,7 +196,9 @@ def import_i3d_torch(state_dict: Mapping[str, Any]) -> dict:
 
 def make_extractor(variables: Mapping[str, Any], batch_size: int = 8):
     """(N, T, H, W, 3) uint8 [0,255] or float [-1,1] -> (N, 400) logits,
-    jitted; the canonical FVD feature fn for compute_fvd."""
+    jitted in ``batch_size`` chunks (the FVD protocol's >=256 clips of
+    16x224px would OOM as a single dispatch); the canonical FVD feature
+    fn for compute_fvd."""
     model = I3D()
     apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
@@ -204,6 +206,11 @@ def make_extractor(variables: Mapping[str, Any], batch_size: int = 8):
         x = np.asarray(videos)
         if x.dtype == np.uint8:
             x = x.astype(np.float32) / 127.5 - 1.0
-        return np.asarray(apply(variables, jnp.asarray(x, jnp.float32)))
+        outs = [
+            np.asarray(apply(variables, jnp.asarray(x[i : i + batch_size],
+                                                    jnp.float32)))
+            for i in range(0, len(x), batch_size)
+        ]
+        return np.concatenate(outs, axis=0)
 
     return extract

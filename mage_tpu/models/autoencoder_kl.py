@@ -251,10 +251,12 @@ class FirstStageKL:
     # the KL-AE's ResNet enc/dec (ch 128, ch_mult [1,2,4,4]) materializes
     # ~8x the activation bytes per 128px frame of the VQ-VAE f8 stack;
     # batch-folded frame chunks must be correspondingly smaller to fit v5e
-    # HBM (measured: 480 frames at 128px OOM unchunked; 128 fits).
-    # MAGE_KL_FRAME_CHUNK overrides (smaller -> lower peak HBM, more
-    # serialization).
-    frame_chunk: int = int(os.environ.get("MAGE_KL_FRAME_CHUNK", "128"))
+    # HBM (measured: 480 frames at 128px OOM unchunked; 96 is the fastest
+    # fitting sweep point — BENCH_NOTES.md). MAGE_KL_FRAME_CHUNK
+    # overrides; read at call time so per-run sweeps work after import.
+    @property
+    def frame_chunk(self) -> int:
+        return int(os.environ.get("MAGE_KL_FRAME_CHUNK", "96"))
 
     def encode(self, videos: jax.Array, rng: jax.Array, variables=None) -> jax.Array:
         """(B, T, H, W, C) -> sampled latents (B, T, h, w, z) — stochastic

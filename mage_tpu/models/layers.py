@@ -36,6 +36,10 @@ def _spatial_impl(dtype=None) -> str:
 
     env = os.environ.get("MAGE_SPATIAL_ATTN")
     if env:
+        if env not in ("pallas", "pallas_interpret", "xla"):
+            raise ValueError(
+                f"MAGE_SPATIAL_ATTN must be pallas|pallas_interpret|xla, got {env!r}"
+            )
         return env
     try:
         on_tpu = jax.default_backend() not in ("cpu",)

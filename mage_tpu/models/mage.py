@@ -73,9 +73,12 @@ class CausalizableGroupNorm(nn.Module):
 
 def group_moments(x: jax.Array, num_groups: int):
     """Per-(batch, group) element count / sum / sum-of-squares of one slot
-    (B, h, w, C) — the accumulable sufficient statistics for GroupNorm."""
+    (B, h, w, C) — the accumulable sufficient statistics for GroupNorm.
+    Accumulated in f32 regardless of activation dtype: the E[x^2]-E[x]^2
+    form cancels catastrophically in bf16 (an 8-bit mantissa can make the
+    variance negative -> rsqrt NaN at sampling time)."""
     b, c = x.shape[0], x.shape[-1]
-    xg = x.reshape(b, -1, num_groups, c // num_groups)
+    xg = x.reshape(b, -1, num_groups, c // num_groups).astype(jnp.float32)
     n = xg.shape[1] * xg.shape[3]
     return n, jnp.sum(xg, axis=(1, 3)), jnp.sum(xg**2, axis=(1, 3))
 
@@ -203,28 +206,33 @@ class FlatAxialDecoder(nn.Module):
 
     def init_gn_state(self, batch: int, dtype=jnp.float32):
         """Zero accumulators (count, sum, sumsq) per (batch, group) for the
-        causal GroupNorm statistics of the continuous head."""
+        causal GroupNorm statistics of the continuous head. Accumulators
+        are f32 regardless of activation dtype (``dtype`` is accepted for
+        API stability but ignored): see group_moments."""
+        del dtype
         g = 32
         return (
             jnp.zeros((), jnp.int32),
-            jnp.zeros((batch, g), dtype),
-            jnp.zeros((batch, g), dtype),
+            jnp.zeros((batch, g), jnp.float32),
+            jnp.zeros((batch, g), jnp.float32),
         )
 
     def head_causal(self, x: jax.Array, gn_state):
         """Continuous head on one trunk slot with GroupNorm statistics over
         all *valid* slots generated so far (this one included). Returns
-        (latents (B, h, w, out_channels), new gn_state)."""
+        (latents (B, h, w, out_channels), new gn_state). Moments reduce in
+        f32 (E[x^2]-E[x]^2 cancels catastrophically in bf16 — negative
+        variance -> NaN); the normalization itself runs in x.dtype."""
         assert not self.use_cids
         count, s, ss = gn_state
         n, s1, ss1 = group_moments(x, 32)
         count = count + n
         s = s + s1
         ss = ss + ss1
-        denom = count.astype(x.dtype)
+        denom = count.astype(jnp.float32)
         mean = s / denom
-        var = ss / denom - mean**2
-        h = self.out_norm(x, mean=mean, var=var)
+        var = jnp.maximum(ss / denom - mean**2, 0.0)
+        h = self.out_norm(x, mean=mean.astype(x.dtype), var=var.astype(x.dtype))
         return self.out_conv(nn.silu(h)), (count, s, ss)
 
 

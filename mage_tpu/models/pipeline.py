@@ -263,6 +263,7 @@ class MagePipeline:
         train: bool = True,
         test_flag: bool = False,
         fs_variables=None,
+        compute_dtype=None,
     ):
         """-> dict of raw loss terms (jnp scalars) + predictions.
 
@@ -271,7 +272,13 @@ class MagePipeline:
         mage_model.py:575-578) or precomputed ``latents`` (latent-cached
         training: stage-1 encode is deterministic per frame for the
         discrete VQ first stage, so caching it is exact and removes the
-        per-step encode cost entirely — see data/device_data.py)."""
+        per-step encode cost entirely — see data/device_data.py).
+
+        ``compute_dtype`` casts the stage-2 inputs AFTER the frozen
+        first-stage encode (same contract as ``generate``): pixels go
+        through the f32 first stage so VQ conditioning ids match the f32
+        run, and continuous (KL) latents are cast so the transformer
+        actually runs in the reduced precision."""
         enc_rng, drop_rng, lat_rng = jax.random.split(rng, 3)
         if "latents" in batch:
             latents = jnp.asarray(batch["latents"])
@@ -279,11 +286,17 @@ class MagePipeline:
             latents = self.encode_first_stage(
                 jnp.asarray(batch["images"]), enc_rng, fs_variables
             )
+        speed = batch.get("speed")
+        if compute_dtype is not None:
+            if jnp.issubdtype(latents.dtype, jnp.floating):
+                latents = latents.astype(compute_dtype)
+            if speed is not None:
+                speed = jnp.asarray(speed).astype(compute_dtype)
         out = self.core.apply(
             {"params": params},
             latents,
             batch["text"],
-            batch.get("speed"),
+            speed,
             train=train,
             test_flag=test_flag,
             rngs={"dropout": drop_rng, "latent": lat_rng},

@@ -8,10 +8,10 @@ pads 4x to the TPU's 128-lane tile; this kernel keeps HBM operands flat
 ``dot_general`` (verified working on v5e) for the (S x S) score and value
 matmuls per head.
 
-Opt-in via ``MAGE_SPATIAL_ATTN=pallas`` (see AxialAttentionBlock); the
-default XLA einsum measured 3509 f/s end-to-end (BENCH_NOTES.md) and this
-kernel exists to probe the remaining ~46 ms spatial-block share of the AR
-core.
+This kernel is the DEFAULT for bf16 eval-mode blocks on TPU (see
+AxialAttentionBlock / MAGE_SPATIAL_ATTN): it cut the AR core from 80 to
+55.9 ms and lifted end-to-end generation 3509 -> 3740 f/s
+(BENCH_NOTES.md). ``MAGE_AXIAL_TILE`` caps the row tile (default 64).
 """
 
 from __future__ import annotations
@@ -47,11 +47,17 @@ def _axial_kernel(n_head: int, q_ref, k_ref, v_ref, o_ref):
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
 
 
-def _pick_tile(g: int, cap: int) -> int:
-    for t in range(min(cap, g), 7, -1):
-        if g % t == 0 and t % 8 == 0:
-            return t
-    return 8
+def _pick_tile(g: int, cap: int | None = None) -> int:
+    """Shared divisor-search from ops/cached_attention; this kernel's cap
+    (MAGE_AXIAL_TILE, default 64) is separate from the cached kernel's
+    MAGE_ATTN_TILE because its VMEM footprint is S x larger per row."""
+    import os
+
+    from mage_tpu.ops.cached_attention import _pick_tile as _base
+
+    if cap is None:
+        cap = int(os.environ.get("MAGE_AXIAL_TILE", "64"))
+    return _base(g, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "tile_g", "interpret"))
@@ -86,7 +92,7 @@ def _sharded_axial(n_head: int, interpret: bool):
     @custom_partitioning
     def attn(q, k, v):
         return _axial_pallas(q, k, v, n_head,
-                             tile_g=_pick_tile(q.shape[0], 64),
+                             tile_g=_pick_tile(q.shape[0]),
                              interpret=interpret)
 
     def _g_axis(arg_shapes):
@@ -102,7 +108,7 @@ def _sharded_axial(n_head: int, interpret: bool):
 
         def lower(q, k, v):
             return _axial_pallas(q, k, v, n_head,
-                                 tile_g=_pick_tile(q.shape[0], 64),
+                                 tile_g=_pick_tile(q.shape[0]),
                                  interpret=interpret)
 
         return mesh, lower, sh, (sh, sh, sh)
@@ -142,6 +148,6 @@ def axial_slot_attention(
         if jax.device_count() > 1:
             return _sharded_axial(n_head, interpret)(q, k, v)
         return _axial_pallas(q, k, v, n_head,
-                             tile_g=_pick_tile(q.shape[0], 64),
+                             tile_g=_pick_tile(q.shape[0]),
                              interpret=interpret)
     return _axial_xla(q, k, v, n_head)

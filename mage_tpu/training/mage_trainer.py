@@ -69,14 +69,14 @@ def make_mage_train_step(pipeline: MagePipeline, tx, compute_dtype=None):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: MageTrainState, fs_vars, batch, lr, beta, alpha, rng):
-        if compute_dtype is not None:
-            batch = cast_floating(batch, compute_dtype)
-
         def loss_fn(params):
             if compute_dtype is not None:
                 params = cast_floating(params, compute_dtype)
+            # inputs cast AFTER the frozen f32 first-stage encode inside
+            # loss_terms — VQ conditioning ids must match the f32 run
             terms = pipeline.loss_terms(
-                params, batch, rng, train=True, fs_variables=fs_vars
+                params, batch, rng, train=True, fs_variables=fs_vars,
+                compute_dtype=compute_dtype,
             )
             final = terms["prediction"]
             if randomness:
@@ -114,10 +114,9 @@ def make_mage_eval_step(pipeline: MagePipeline, compute_dtype=None,
         params = state.params
         if compute_dtype is not None:
             params = cast_floating(params, compute_dtype)
-            batch = cast_floating(batch, compute_dtype)
         terms = pipeline.loss_terms(
             params, batch, rng, train=False, test_flag=test_flag,
-            fs_variables=fs_vars
+            fs_variables=fs_vars, compute_dtype=compute_dtype,
         )
         final = terms["prediction"]
         if randomness:

@@ -288,7 +288,6 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
     opt_state = jax.jit(tx.init)(params)
     step = jnp.zeros((), jnp.int32)
     alpha, beta = pipeline.alpha, pipeline.beta
-    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
     def batch_at(rng):
         k1, k2 = jax.random.split(rng)
@@ -309,12 +308,10 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
         # the MXU at 2x; reductions in the loss stay f32 via jnp promotion)
         base_loss = loss_fn
 
+        from mage_tpu.training.mage_trainer import cast_floating
+
         def loss_fn(params, batch, rng):  # noqa: F811
-            p16 = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, params
-            )
-            final, terms = base_loss(p16, batch, rng)
+            final, terms = base_loss(cast_floating(params, jnp.bfloat16), batch, rng)
             return final.astype(jnp.float32), jax.tree_util.tree_map(
                 lambda v: v.astype(jnp.float32), terms
             )
@@ -374,6 +371,8 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
             })
             if val_loss < best:
                 best = val_loss
+                ckpt.save("best", {"step": jax.device_get(step),
+                                   "params": jax.device_get(params)})
     ckpt.save("final", {"step": jax.device_get(step),
                         "params": jax.device_get(params)})
     return params
