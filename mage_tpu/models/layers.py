@@ -390,9 +390,16 @@ class BasicBlock3D(nn.Module):
     (reference mage_model.py:264-297). Input (B, T, H, W, C).
 
     ``spectral`` wraps conv1/conv2 in spectral normalization (the
-    reference's optional flag, :277-279; never enabled by shipped configs —
-    flax's SpectralNorm needs ``mutable=['batch_stats']`` for its power
-    iteration when used in training)."""
+    reference's optional flag, :277-279; never enabled by shipped configs).
+    Semantics match ``torch.nn.utils.spectral_norm``: each TRAINING call
+    runs one persistent power-iteration step on the stored ``u`` vector
+    and divides the kernel by the estimated top singular value
+    (tests/test_mage_layers.py pins sigma against the torch implementation).
+    Training callers must apply with ``train=True`` AND
+    ``mutable=['batch_stats']`` — flax raises loudly if the power-iteration
+    write is attempted on an immutable collection, so a silently-frozen
+    estimate is impossible; ``train=False`` reuses the stored ``u``
+    without updating (torch eval behavior)."""
 
     out_planes: int
     stride: int = 1
@@ -401,11 +408,16 @@ class BasicBlock3D(nn.Module):
     spectral: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
         strides = (self.stride_t, self.stride, self.stride)
         if self.spectral:
-            wrap = lambda m: (lambda y: nn.SpectralNorm(m)(y, update_stats=False))
+            update = train and not self.is_initializing()
+            wrap = lambda m: (
+                lambda y: nn.SpectralNorm(m, error_on_non_matrix=False)(
+                    y, update_stats=update
+                )
+            )
         else:
             wrap = lambda m: m
         residual = x

@@ -12,8 +12,10 @@ Loop parity with reference main_mage.py:58-199:
   dist.barrier+all_reduce, :180-182), ``iteration_N`` + ``model_best``
   checkpoints (:189-199) — plus a real resume path (the reference has
   none for stage 2, :122).
-- MAGE+ auto-beta: host-side PID fed by the previous step's KL
-  (mage_tpu.training.pid).
+- MAGE+ auto-beta: the PID controller runs INSIDE the jitted step —
+  beta_t is computed from step t's KL and weights step t's loss, the
+  reference's exact same-step semantics (mage_model.py:628-631); the
+  three controller scalars ride along as a traced (3,) array.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ from mage_tpu.models.pipeline import MagePipeline
 from mage_tpu.parallel import make_mesh, replicated_sharding, shard_batch
 from mage_tpu.training.checkpoint import Checkpointer
 from mage_tpu.training.lr import epoch_lr
-from mage_tpu.training.pid import PIDControl
+from mage_tpu.training.pid import PIDControl, initial_pid_state
 from mage_tpu.utils import MetricsWriter, Timer
 
 
@@ -66,9 +68,13 @@ def make_mage_train_step(pipeline: MagePipeline, tx, compute_dtype=None):
     stage stays f32: its VQ argmin must produce the same ids either way."""
     randomness = pipeline.randomness
     auto_beta = pipeline.auto_beta
+    v_kl = pipeline.v_kl
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: MageTrainState, fs_vars, batch, lr, beta, alpha, rng):
+        """``beta``: fixed scalar, or — when auto_beta — the (3,) PID
+        controller state; the controller then runs in-step on this step's
+        KL and the updated state comes back as ``terms['_pid_state']``."""
         def loss_fn(params):
             if compute_dtype is not None:
                 params = cast_floating(params, compute_dtype)
@@ -80,8 +86,27 @@ def make_mage_train_step(pipeline: MagePipeline, tx, compute_dtype=None):
             )
             final = terms["prediction"]
             if randomness:
-                final = final + beta * terms["kl_loss"]
-                if not auto_beta:
+                if auto_beta:
+                    # same-step auto-beta (reference mage_model.py:628-631):
+                    # beta_t = PID(kl_t) weights THIS step's loss. The
+                    # controller sees a stopped KL and beta enters the loss
+                    # as a constant — d(final)/d(kl) = beta_t, exactly the
+                    # reference where beta is a host float.
+                    from mage_tpu.training.pid import pid_update
+
+                    beta_t, new_pid = pid_update(
+                        beta, v_kl,
+                        jax.lax.stop_gradient(terms["kl_loss"]).astype(
+                            jnp.float32
+                        ),
+                    )
+                    final = final + jax.lax.stop_gradient(beta_t).astype(
+                        final.dtype
+                    ) * terms["kl_loss"]
+                    terms["beta"] = beta_t
+                    terms["_pid_state"] = new_pid
+                else:
+                    final = final + beta * terms["kl_loss"]
                     final = final + alpha * terms.get("speed_l2", 0.0)
             terms["final_loss"] = final
             return final, terms
@@ -153,7 +178,11 @@ class MageTrainer:
         self.fs_vars = jax.device_put(
             pipeline.first_stage.variables, replicated_sharding(self.mesh)
         )
+        # auto-beta: the PID runs in-step (see make_mage_train_step);
+        # the trainer carries the controller state [i_k1, w_k1, e_k1] and
+        # mirrors the latest beta on the host for eval/logging/resume
         self.pid = PIDControl() if pipeline.auto_beta else None
+        self.pid_state = initial_pid_state() if pipeline.auto_beta else None
         self.beta = pipeline.beta if not pipeline.auto_beta else 0.0
         self.iteration = 0
         self.best_loss = float("inf")
@@ -198,13 +227,16 @@ class MageTrainer:
                 self.pid.i_k1 = host["pid"]["i_k1"]
                 self.pid.w_k1 = host["pid"]["w_k1"]
                 self.pid.e_k1 = host["pid"]["e_k1"]
+                self.pid_state = jnp.asarray(
+                    [self.pid.i_k1, self.pid.w_k1, self.pid.e_k1], jnp.float32
+                )
 
     def _save_host_state(self) -> None:
         host = {"iteration": self.iteration, "best_loss": self.best_loss,
                 "beta": self.beta}
-        if self.pid is not None:
-            host["pid"] = {"i_k1": self.pid.i_k1, "w_k1": self.pid.w_k1,
-                           "e_k1": self.pid.e_k1}
+        if self.pid_state is not None:
+            i_k1, w_k1, e_k1 = map(float, jax.device_get(self.pid_state))
+            host["pid"] = {"i_k1": i_k1, "w_k1": w_k1, "e_k1": e_k1}
         with open(os.path.join(self.ckpt.directory, "trainer_state.json"), "w") as fp:
             json.dump(host, fp)
 
@@ -239,21 +271,20 @@ class MageTrainer:
                     self.fs_vars,
                     self._prep(batch),
                     lr,
-                    self.beta,
+                    self.pid_state if self.pid_state is not None else self.beta,
                     self.pipeline.alpha,
                     step_rng,
                 )
                 self.iteration += 1
+                if self.pid_state is not None:
+                    self.pid_state = terms.pop("_pid_state")
                 host_terms = {
                     k: float(v) for k, v in jax.device_get(terms).items()
                 }
                 timer.toc()
-                if self.pid is not None and "kl_loss" in host_terms:
-                    # beta for the NEXT step from this step's KL (see pid.py)
-                    self.beta, _ = self.pid.pid(
-                        self.pipeline.v_kl, host_terms["kl_loss"]
-                    )
-                    host_terms["beta"] = self.beta
+                if self.pid_state is not None:
+                    # host mirror of the in-step beta (eval/logging/resume)
+                    self.beta = host_terms["beta"]
                 self.writer.add_scalars("loss/train/", host_terms, self.iteration)
                 if self.iteration % 50 == 0:
                     print(

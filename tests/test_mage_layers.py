@@ -141,3 +141,83 @@ def test_adain_modulates():
     o2 = ada.apply(params, x, y * 2.0)
     assert o1.shape == x.shape
     assert float(jnp.abs(o1 - o2).max()) > 1e-6  # conditioning matters
+
+
+def test_spectral_norm_sigma_matches_torch():
+    """BasicBlock3D's spectral flag must reproduce torch.nn.utils.
+    spectral_norm (reference mage_model.py:277-279): persistent 1-step
+    power iteration per training forward, kernel divided by the top
+    singular value. Both sides iterate from different random u vectors, so
+    compare after enough steps for the power iteration to converge."""
+    import flax.linen as nn
+    import torch
+
+    rng = np.random.RandomState(0)
+    cin, cout = 4, 6
+    w = rng.randn(cout, cin, 3, 3, 3).astype(np.float32)
+    x = rng.randn(2, cin, 5, 5, 5).astype(np.float32)
+
+    tconv = torch.nn.Conv3d(cin, cout, 3, padding=1, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(w))
+    tconv = torch.nn.utils.spectral_norm(tconv)  # n_power_iterations=1
+    tconv.train()
+    tx = torch.from_numpy(x)
+    for _ in range(60):
+        with torch.no_grad():
+            t_out = tconv(tx)
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, y, update: bool = False):
+            conv = nn.Conv(cout, (3, 3, 3), padding=1, use_bias=False)
+            return nn.SpectralNorm(conv, error_on_non_matrix=False)(
+                y, update_stats=update
+            )
+
+    xx = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    variables = Wrap().init(jax.random.PRNGKey(1), xx)
+    variables = {
+        "params": {"Conv_0": {"kernel": jnp.asarray(w.transpose(2, 3, 4, 1, 0))}},
+        "batch_stats": variables["batch_stats"],
+    }
+    stats = variables["batch_stats"]
+    for _ in range(60):
+        out, mut = Wrap().apply(
+            {"params": variables["params"], "batch_stats": stats},
+            xx, update=True, mutable=["batch_stats"],
+        )
+        stats = mut["batch_stats"]
+    np.testing.assert_allclose(
+        np.asarray(out), t_out.numpy().transpose(0, 2, 3, 4, 1),
+        rtol=2e-3, atol=2e-4,
+    )
+
+
+def test_spectral_block_updates_u_in_training_and_raises_otherwise():
+    import flax.errors
+    import pytest
+
+    blk = BasicBlock3D(out_planes=32, spectral=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 4, 32), jnp.float32)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables  # power-iteration state exists
+
+    # training step: u must change (persistent power iteration)
+    _, mut = blk.apply(variables, x, train=True, mutable=["batch_stats"])
+    leaves0 = jax.tree_util.tree_leaves(variables["batch_stats"])
+    leaves1 = jax.tree_util.tree_leaves(mut["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, leaves1)
+    )
+
+    # eval reuses the stored estimate deterministically, no mutation needed
+    out1 = blk.apply(variables, x, train=False)
+    out2 = blk.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # a silently-frozen spectral norm is impossible: training without a
+    # mutable batch_stats collection is a loud error
+    with pytest.raises(flax.errors.ModifyScopeVariableError):
+        blk.apply(variables, x, train=True)

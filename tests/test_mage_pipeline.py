@@ -154,13 +154,25 @@ def test_auto_beta_pid_engages(tmp_path, mesh8):
     assert trainer.beta == 0.0  # PID starts at 0
     import jax as _jax
 
-    state, terms = trainer.train_step(
-        trainer.state, trainer.fs_vars, trainer._prep(first), 1e-3,
-        trainer.beta, pipeline.alpha, _jax.random.PRNGKey(0),
-    )
-    kl = float(terms["kl_loss"])
-    beta, _ = PIDControl().pid(pipeline.v_kl, kl)
-    assert 0.0 <= beta <= 1.0
+    # SAME-STEP semantics (reference mage_model.py:628-631): the in-step
+    # beta must equal the host controller fed with THIS step's KL
+    host_pid = PIDControl()
+    pid_state = trainer.pid_state
+    for i in range(3):
+        state, terms = trainer.train_step(
+            trainer.state, trainer.fs_vars, trainer._prep(first), 1e-3,
+            pid_state, pipeline.alpha, _jax.random.PRNGKey(i),
+        )
+        trainer.state = state
+        pid_state = terms.pop("_pid_state")
+        kl = float(terms["kl_loss"])
+        beta_step = float(terms["beta"])
+        beta_host, _ = host_pid.pid(pipeline.v_kl, kl)
+        assert 0.0 <= beta_step <= 1.0
+        assert abs(beta_step - beta_host) < 1e-5, (i, beta_step, beta_host)
+        # the step's final loss was weighted with the same-step beta
+        expect = float(terms["prediction"]) + beta_step * kl
+        assert abs(float(terms["final_loss"]) - expect) < 1e-4
 
 
 def test_pid_reference_semantics():
