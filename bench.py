@@ -83,13 +83,17 @@ def main():
     # Timing discipline: on remote-execution backends block_until_ready can
     # return before the device finishes, so every timed iteration fetches a
     # scalar checksum of the full output (forces completion; ~4-byte
-    # transfer). The measured tunnel round-trip is subtracted.
+    # transfer). The measured tunnel round-trip is subtracted — the MEDIAN
+    # of many samples: RTT jitter at small n_iter was the source of the
+    # r02 3,740-vs-4,602 headline discrepancy (BENCH_NOTES.md).
     trivial = jax.jit(lambda x: x + 1.0)
     float(trivial(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for i in range(5):
+    rtts = []
+    for i in range(15):
+        t0 = time.perf_counter()
         float(trivial(jnp.float32(i)))
-    rtt = (time.perf_counter() - t0) / 5
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
 
     def gen_checksum(p, fs, b, r):
         out = pipeline.generate(
@@ -108,14 +112,26 @@ def main():
     checksum = float(gen(params, fs_vars, dev_batch, jax.random.PRNGKey(1)))
     assert np.isfinite(checksum)
 
-    n_iter = 3
-    t0 = time.perf_counter()
+    n_iter = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = []
     for i in range(n_iter):
+        t0 = time.perf_counter()
         float(gen(params, fs_vars, dev_batch, jax.random.PRNGKey(2 + i)))
-    dt = max((time.perf_counter() - t0) / n_iter - rtt, 1e-9)
+        iters.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+    dt = float(np.mean(iters))
 
     gen_frames = batch * (frames_length - 1)  # frames actually generated
     fps = gen_frames / dt
+    # full config provenance rides in the same JSON line so round-over-round
+    # numbers are comparable (VERDICT r2 weak-item 2)
+    knobs = {
+        k: os.environ[k]
+        for k in (
+            "MAGE_SPATIAL_ATTN", "MAGE_CACHED_ATTN", "MAGE_ATTN_TILE",
+            "MAGE_KL_FRAME_CHUNK",
+        )
+        if k in os.environ
+    }
     print(
         json.dumps(
             {
@@ -123,6 +139,16 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 1000.0, 3),
+                "config": {
+                    "model": model, "sampler": sampler, "batch": batch,
+                    "dtype": str(dtype), "frames_length": frames_length,
+                    "n_iter": n_iter, "knobs": knobs,
+                },
+                "per_iter_ms": [round(t * 1e3, 1) for t in iters],
+                "spread_pct": round(
+                    100.0 * (max(iters) - min(iters)) / dt, 1
+                ),
+                "rtt_ms": round(rtt * 1e3, 1),
             }
         )
     )

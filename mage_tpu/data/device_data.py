@@ -94,6 +94,166 @@ def build_compact_single_mnist(
     }
 
 
+def build_compact_double_modified(
+    num_train: int,
+    num_val: int,
+    seed: int = 0,
+    mnist_npz: Optional[str] = None,
+    context_length: int = 32,
+    bank: Optional[tuple] = None,
+) -> dict:
+    """Compact device-resident Modified Double Moving MNIST
+    (reference data/mnist_caption_double_modified.py; generator parity:
+    mage_tpu/data/generators/mnist_double_modified.py).
+
+    Replays the .mrs generator's exact RNG call order (digit-pair pick,
+    combo choice, distractor-digit rejection, per-digit direction/bounce +
+    trajectory, distractor presence + IOU placement), so the compact
+    arrays describe the same records ``mnist_double_modified.main`` writes
+    for ``seed``. Variable-length tracks (digits freeze at walls) are
+    edge-padded to SEQ_LENGTH+1 — physically exact continuation (a stopped
+    digit stays put) — with the TRUE length kept in ``length`` so
+    speed subsampling sees the same frame count as the written records.
+
+    -> {"bank", split: {"d1","d2" (M,), "ys1","xs1","ys2","xs2" (M, 21),
+        "length" (M,), "bg" (M,), "bg_y","bg_x" (M,), "has_bg" (M,),
+        "text" (M, context_length)}}
+    """
+    from mage_tpu.data.generators.mnist_double import MOTION_IDXS, pair_motion_split
+    from mage_tpu.data.generators.mnist_double_modified import (
+        MOTION_STRINGS as MOD_MOTION_STRINGS,
+        SEQ_LENGTH as MOD_SEQ,
+        _iou_overlaps,
+        modified_trajectory,
+    )
+    from mage_tpu.data.tokenizers import MNIST_VOCAB, VocabTokenizer
+
+    rng = np.random.RandomState(seed)
+    images, labels = (
+        mc.load_digit_bank(mnist_npz, seed=seed) if bank is None else bank
+    )
+    train_codes, val_codes = pair_motion_split(rng)
+    tokenizer = VocabTokenizer(MNIST_VOCAB, split_mode="whitespace")
+    tmax = MOD_SEQ + 1
+
+    def build_split(codes: np.ndarray, num: int) -> dict:
+        pair_codes, combo_codes = codes % 100, codes // 100
+        cols = {k: [] for k in ("d1", "d2", "ys1", "xs1", "ys2", "xs2",
+                                "length", "bg", "bg_y", "bg_x", "has_bg",
+                                "text")}
+        while len(cols["d1"]) < num:
+            idxs = rng.randint(images.shape[0], size=2)
+            pair = 10 * int(labels[idxs[0]]) + int(labels[idxs[1]])
+            matches = np.where(pair_codes == pair)[0]
+            if len(matches) == 0:
+                continue
+            combo = int(combo_codes[rng.choice(matches)])
+            while True:  # distractor digit differs from both movers
+                bg = int(rng.randint(images.shape[0]))
+                if labels[bg] not in (labels[idxs[0]], labels[idxs[1]]):
+                    break
+            motions = MOTION_IDXS[combo]
+            tracks, dirs, bounces = [], [], []
+            for m in motions:
+                d, bn = int(rng.randint(0, 2)), int(rng.randint(0, 2))
+                tracks.append(modified_trajectory(rng, int(m), d, bn))
+                dirs.append(d)
+                bounces.append(bn)
+            tlen = max(t[0].shape[0] for t in tracks)
+            tracks = [
+                (np.pad(ys, (0, tmax - len(ys)), mode="edge"),
+                 np.pad(xs, (0, tmax - len(xs)), mode="edge"))
+                for ys, xs in tracks
+            ]
+            has_bg = int(rng.randint(0, 2))
+            bg_y = bg_x = 0
+            if has_bg:
+                boxes = [
+                    (int(t[0][0]), int(t[1][0]),
+                     int(t[0][0]) + DIGIT_SIZE, int(t[1][0]) + DIGIT_SIZE)
+                    for t in tracks
+                ]
+                while True:
+                    bg_y = int((IMAGE_SIZE - DIGIT_SIZE) * rng.rand())
+                    bg_x = int((IMAGE_SIZE - DIGIT_SIZE) * rng.rand())
+                    box = (bg_y, bg_x, bg_y + DIGIT_SIZE, bg_x + DIGIT_SIZE)
+                    if not any(_iou_overlaps(box, b) for b in boxes):
+                        break
+            caption = (
+                "the digit %d is moving %s and the digit %d is moving %s ."
+                % (
+                    labels[idxs[0]],
+                    MOD_MOTION_STRINGS[int(motions[0]) + 2 * dirs[0] + 4 * bounces[0]],
+                    labels[idxs[1]],
+                    MOD_MOTION_STRINGS[int(motions[1]) + 2 * dirs[1] + 4 * bounces[1]],
+                )
+            )
+            cols["d1"].append(int(idxs[0]))
+            cols["d2"].append(int(idxs[1]))
+            cols["ys1"].append(tracks[0][0])
+            cols["xs1"].append(tracks[0][1])
+            cols["ys2"].append(tracks[1][0])
+            cols["xs2"].append(tracks[1][1])
+            cols["length"].append(tlen)
+            cols["bg"].append(bg)
+            cols["bg_y"].append(bg_y)
+            cols["bg_x"].append(bg_x)
+            cols["has_bg"].append(has_bg)
+            cols["text"].append(tokenizer.encode_padded(caption, context_length))
+        return {
+            k: (np.stack(v) if k in ("ys1", "xs1", "ys2", "xs2", "text")
+                else np.asarray(v)).astype(np.int32)
+            for k, v in cols.items()
+        }
+
+    return {
+        "bank": images,
+        "train": build_split(train_codes, num_train),
+        "val": build_split(val_codes, num_val),
+    }
+
+
+def compose_frames_double(
+    bank: jax.Array,  # (N, 28, 28) normalized
+    d1: jax.Array, y1: jax.Array, x1: jax.Array,  # (M,) each
+    d2: jax.Array, y2: jax.Array, x2: jax.Array,
+    bg: jax.Array, bg_y: jax.Array, bg_x: jax.Array, has_bg: jax.Array,
+) -> jax.Array:
+    """Render M two-digit (+ optional static distractor) frames on device
+    -> (M, 64, 64, 1). Overlap composite = max, like render_video (the
+    normalization is monotonic, so max commutes with /255-0.5)."""
+    background = jnp.full((IMAGE_SIZE, IMAGE_SIZE), -0.5, bank.dtype)
+
+    def paste(d, y, x):
+        return jax.lax.dynamic_update_slice(background, bank[d], (y, x))
+
+    def one(d1, y1, x1, d2, y2, x2, bg, by, bx, hb):
+        frame = jnp.maximum(paste(d1, y1, x1), paste(d2, y2, x2))
+        dist = jnp.where(hb > 0, paste(bg, by, bx), background)
+        return jnp.maximum(frame, dist)
+
+    frames = jax.vmap(one)(d1, y1, x1, d2, y2, x2, bg, bg_y, bg_x, has_bg)
+    return frames[..., None]
+
+
+def clip_indices_var(
+    speed: jax.Array, length: jax.Array, frames_length: int = 16
+) -> jax.Array:
+    """speed in [0, 1), TRACED clip length -> (frames_length,) indices.
+
+    Variable-length twin of ``clip_indices`` for datasets whose videos end
+    early (modified-double: digits freeze at walls). count =
+    round_half_even(length / (1 + speed)) like speed_subsample_indices
+    (sample_speed [1, 2], min_interval 1); jnp.round is half-to-even like
+    the generator's float64 np.round — the f32 quotient can disagree only
+    within ~1 ulp of an exact .5 tie, unreachable for uniform speeds.
+    Index floor(linspace) in exact integer math, repeat-last padded."""
+    q = length.astype(jnp.float32) / (1.0 + speed.astype(jnp.float32))
+    count = jnp.maximum(jnp.round(q).astype(jnp.int32), 1)
+    i = jnp.minimum(jnp.arange(frames_length, dtype=jnp.int32), count - 1)
+    return (i * (length - 1)) // jnp.maximum(count - 1, 1)
+
+
 def normalize_bank(bank: np.ndarray) -> jax.Array:
     """uint8 digit bank -> device float32 in [-0.5, 0.5] (the transform
     chain's ToFloat + Normalize used by the MNIST configs)."""

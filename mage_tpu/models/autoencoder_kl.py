@@ -87,10 +87,69 @@ class _Down(nn.Module):
         )(x)
 
 
+class _PhasedUpConv(nn.Module):
+    """3x3 conv over a nearest-2x upsample, computed at LOW resolution.
+
+    ``conv3x3(nearest_up2(x))`` touches, for output pixel (2i+a, 2j+b),
+    a 2x2 neighborhood of low-res pixels with repeated weights: rows
+    (i-1, i) weighted (W0, W1+W2) for phase a=0 and (i, i+1) weighted
+    (W0+W1, W2) for a=1 (same along width). So the whole op is ONE 2x2
+    VALID conv with 4x the output channels (one phase each) on the
+    1-padded low-res input, followed by a phase interleave — exact
+    arithmetic (linear recombination of the same taps) at 16/36 the MACs,
+    and the C-channel high-res pre-conv tensor never hits HBM. Parameter
+    names/shapes equal ``nn.Conv(c, (3,3))``, so checkpoints are
+    interchangeable with the naive order (decoder upsample is the KL-AE's
+    dominant cost at 128px — BENCH_NOTES.md)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        c = self.features
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, c),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        # combine taps at param precision (f32): (W1+W2) rounds once, after
+        # the exact sum — then cast for the MXU like nn.Conv would
+        w0, w1, w2 = kernel[0], kernel[1], kernel[2]
+        t0 = jnp.stack([w0, w1 + w2], 0)  # phase a=0: (2, 3, Cin, Cout)
+        t1 = jnp.stack([w0 + w1, w2], 0)  # phase a=1
+
+        def wcomb(t):
+            return (
+                jnp.stack([t[:, 0], t[:, 1] + t[:, 2]], 1),
+                jnp.stack([t[:, 0] + t[:, 1], t[:, 2]], 1),
+            )
+
+        k00, k01 = wcomb(t0)
+        k10, k11 = wcomb(t1)
+        big = jnp.concatenate([k00, k01, k10, k11], -1).astype(x.dtype)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = jax.lax.conv_general_dilated(
+            xp, big, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, h+1, w+1, 4C)
+        p00 = out[:, :h, :w, 0:c]
+        p01 = out[:, :h, 1:, c : 2 * c]
+        p10 = out[:, 1:, :w, 2 * c : 3 * c]
+        p11 = out[:, 1:, 1:, 3 * c :]
+        row0 = jnp.stack([p00, p01], axis=3)  # (B, h, w, 2, C)
+        row1 = jnp.stack([p10, p11], axis=3)
+        y = jnp.stack([row0, row1], axis=2)  # (B, h, 2, w, 2, C)
+        return y.reshape(b, 2 * h, 2 * w, c) + bias.astype(x.dtype)
+
+
 class _Up(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        if os.environ.get("MAGE_KL_UP", "phased") == "phased":
+            return _PhasedUpConv(c, name="conv")(x)
         x = jnp.broadcast_to(
             x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
         ).reshape(b, 2 * h, 2 * w, c)

@@ -98,3 +98,34 @@ def test_kl_gradients_and_recon_trainable():
         params = optax.apply_updates(params, updates)
     l1 = float(loss_fn(params, jax.random.PRNGKey(2)))
     assert l1 < l0
+
+
+def test_phased_up_conv_matches_naive(monkeypatch):
+    """The decoder's upsample conv computed by phase decomposition at low
+    resolution must equal conv3x3(nearest_up2(x)) exactly (same params:
+    the two orders share one param tree)."""
+    from mage_tpu.models.autoencoder_kl import _Up
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 7, 5, 16), jnp.float32)
+    monkeypatch.setenv("MAGE_KL_UP", "naive")
+    up = _Up()
+    variables = up.init(jax.random.PRNGKey(3), x)
+    naive = up.apply(variables, x)
+    monkeypatch.setenv("MAGE_KL_UP", "phased")
+    phased = up.apply(variables, x)
+    assert phased.shape == naive.shape == (2, 14, 10, 16)
+    np.testing.assert_allclose(
+        np.asarray(phased), np.asarray(naive), rtol=2e-5, atol=2e-5
+    )
+    # gradients flow through the recombined kernel identically
+    g_n = jax.grad(
+        lambda v: jnp.sum(up.apply(v, x) ** 2))(variables)
+    monkeypatch.setenv("MAGE_KL_UP", "naive")
+    g_p = jax.grad(
+        lambda v: jnp.sum(up.apply(v, x) ** 2))(variables)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        g_n, g_p,
+    )

@@ -150,3 +150,87 @@ def test_latent_gather_equals_pixel_subsample_then_encode():
         model.apply(variables, frames[pos], method="encode", mutable=False)
     )
     np.testing.assert_array_equal(gathered, direct)
+
+
+def test_compact_double_modified_matches_record_generator():
+    """Same seed + bank -> the compact double-modified arrays render to the
+    exact records mnist_double_modified.generate_split produces (videos
+    byte-identical through the true length, captions identical), and the
+    device composite matches through the edge-padded tail."""
+    import jax
+
+    from mage_tpu.data.generators import mnist_double, mnist_double_modified
+
+    images, labels = mc.load_digit_bank(None, samples_per_digit=5, seed=11)
+    rng = np.random.RandomState(11)
+    train_codes, val_codes = mnist_double.pair_motion_split(rng)
+    n_train, n_val = 6, 3
+    recs_train = mnist_double_modified.generate_split(
+        rng, train_codes, images, labels, n_train
+    )
+    recs_val = mnist_double_modified.generate_split(
+        rng, val_codes, images, labels, n_val
+    )
+
+    compact = dd.build_compact_double_modified(
+        n_train, n_val, seed=11, bank=(images, labels)
+    )
+    from mage_tpu.data.tokenizers import MNIST_VOCAB, VocabTokenizer
+
+    tokenizer = VocabTokenizer(MNIST_VOCAB, split_mode="whitespace")
+    bank_dev = dd.normalize_bank(images)
+
+    for split, recs in (("train", recs_train), ("val", recs_val)):
+        c = compact[split]
+        for i, (video, caption) in enumerate(recs):
+            tlen = int(c["length"][i])
+            assert video.shape[0] == tlen
+            np.testing.assert_array_equal(
+                c["text"][i], tokenizer.encode_padded(caption, 32)
+            )
+            # host render from compact tracks == generator video
+            rendered = mc.render_video(
+                [images[c["d1"][i]], images[c["d2"][i]]],
+                [(c["ys1"][i], c["xs1"][i]), (c["ys2"][i], c["xs2"][i])],
+                tlen,
+                static_overlays=(
+                    [(images[c["bg"][i]], int(c["bg_y"][i]), int(c["bg_x"][i]))]
+                    if c["has_bg"][i] else None
+                ),
+            )
+            np.testing.assert_array_equal(rendered, video)
+            # device composite (all 21 padded frames) matches the
+            # normalized video through tlen
+            t = np.arange(dd.SEQ_LENGTH + 1)
+            frames = dd.compose_frames_double(
+                bank_dev,
+                jnp.full(t.shape, c["d1"][i]), jnp.asarray(c["ys1"][i]),
+                jnp.asarray(c["xs1"][i]),
+                jnp.full(t.shape, c["d2"][i]), jnp.asarray(c["ys2"][i]),
+                jnp.asarray(c["xs2"][i]),
+                jnp.full(t.shape, c["bg"][i]), jnp.full(t.shape, c["bg_y"][i]),
+                jnp.full(t.shape, c["bg_x"][i]), jnp.full(t.shape, c["has_bg"][i]),
+            )
+            np.testing.assert_allclose(
+                np.asarray(frames)[:tlen, ..., 0],
+                video.astype(np.float32) / 255.0 - 0.5,
+                atol=1e-6,
+            )
+
+
+def test_clip_indices_var_matches_dataset_sampling():
+    """clip_indices_var == speed_subsample_indices + repeat-last padding
+    for variable clip lengths (the modified-double regime)."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    for _ in range(200):
+        length = int(rng.randint(6, 22))
+        speed = np.float32(rng.rand())
+        ref = speed_subsample_indices(length, [1.0, 2.0], float(speed), 1.0)
+        ref = ref[:16]
+        ref = np.pad(ref, (0, 16 - len(ref)), mode="edge")
+        got = np.asarray(
+            dd.clip_indices_var(jnp.float32(speed), jnp.int32(length), 16)
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"{length} {speed}")
