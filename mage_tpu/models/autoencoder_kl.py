@@ -144,12 +144,48 @@ class _PhasedUpConv(nn.Module):
         return y.reshape(b, 2 * h, 2 * w, c) + bias.astype(x.dtype)
 
 
+class _DilatedUpConv(nn.Module):
+    """conv3x3(nearest_up2(x)) as ONE native lhs-dilated (transposed-style)
+    conv: nearest upsampling is zero-insertion convolved with ones(2,2), so
+    the composition is a 4x4 kernel W'[k] = W[k-1] + W[k] (separably in
+    h/w) over the 2x-dilated input — XLA's native transposed-conv path, no
+    explicit upsample tensor, no phase interleave. Exact arithmetic;
+    parameters identical to ``nn.Conv(c, (3, 3))``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, x.shape[-1], c)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        z = jnp.zeros_like(kernel[:1])
+        kh = jnp.concatenate([z, kernel]) + jnp.concatenate([kernel, z])  # (4,3,..)
+        zw = jnp.zeros_like(kh[:, :1])
+        k4 = jnp.concatenate([zw, kh], 1) + jnp.concatenate([kh, zw], 1)  # (4,4,..)
+        out = jax.lax.conv_general_dilated(
+            x, k4.astype(x.dtype), (1, 1), ((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(x.dtype)
+
+
 class _Up(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        if os.environ.get("MAGE_KL_UP", "phased") == "phased":
+        # measured on v5e (BENCH_NOTES.md): the straightforward
+        # broadcast-upsample + conv is the fastest of the three exact
+        # formulations (XLA fuses the broadcast well); the FLOP-reduced
+        # variants remain as opt-ins for different hardware/shape regimes.
+        variant = os.environ.get("MAGE_KL_UP", "naive")
+        if variant == "phased":
             return _PhasedUpConv(c, name="conv")(x)
+        if variant == "dilated":
+            return _DilatedUpConv(c, name="conv")(x)
         x = jnp.broadcast_to(
             x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
         ).reshape(b, 2 * h, 2 * w, c)

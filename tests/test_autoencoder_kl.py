@@ -111,12 +111,15 @@ def test_phased_up_conv_matches_naive(monkeypatch):
     up = _Up()
     variables = up.init(jax.random.PRNGKey(3), x)
     naive = up.apply(variables, x)
+    for variant in ("phased", "dilated"):
+        monkeypatch.setenv("MAGE_KL_UP", variant)
+        alt = up.apply(variables, x)
+        assert alt.shape == naive.shape == (2, 14, 10, 16)
+        np.testing.assert_allclose(
+            np.asarray(alt), np.asarray(naive), rtol=2e-5, atol=2e-5,
+            err_msg=variant,
+        )
     monkeypatch.setenv("MAGE_KL_UP", "phased")
-    phased = up.apply(variables, x)
-    assert phased.shape == naive.shape == (2, 14, 10, 16)
-    np.testing.assert_allclose(
-        np.asarray(phased), np.asarray(naive), rtol=2e-5, atol=2e-5
-    )
     # gradients flow through the recombined kernel identically
     g_n = jax.grad(
         lambda v: jnp.sum(up.apply(v, x) ** 2))(variables)

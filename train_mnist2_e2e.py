@@ -1,0 +1,558 @@
+"""End-to-end Modified Double Moving MNIST training on one TPU chip.
+
+BASELINE.json config 3: two digits with per-digit stop-at-wall vs bounce
+physics, compositional two-clause captions, and a random static distractor
+digit (reference data/mnist_caption_double_modified.py:74-192) — the
+hardest dataset buildable offline and the first real test of the text
+encoder beyond single-clause captions.
+
+Same resident-data strategy as train_mnist_e2e.py (the tunneled chip moves
+~0.5 MB/s host<->device): upload the compact dataset (digit bank + integer
+trajectories + caption tokens), compose frames on device, train stage 1
+(VQ-VAE f4) -> materialize per-frame latent ids -> train stage 2 (MAGE,
+discrete) -> evaluate AR generation PSNR + per-digit motion correctness
+(template-tracking the two captioned digits through the generated video
+against their ground-truth trajectories).
+
+Usage (real chip):
+    python train_mnist2_e2e.py --out runs/mnist2_e2e --bf16
+Smoke (CPU):
+    python train_mnist2_e2e.py --tiny --out /tmp/e2e2_smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mage_tpu.data import device_data as dd
+from mage_tpu.models.vqvae import VectorQuantizedVAE
+from mage_tpu.training import vqvae_trainer as vt
+from mage_tpu.training.checkpoint import Checkpointer
+from mage_tpu.training.lr import epoch_lr
+from mage_tpu.training.mage_trainer import make_mage_tx
+from mage_tpu.evals.metrics import ssim as np_ssim
+from mage_tpu.utils.media import save_gif
+
+T_STORED = dd.SEQ_LENGTH + 1  # 21 stored frames (edge-padded tracks)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="runs/mnist2_e2e")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mnist-npz", default=None)
+    p.add_argument("--num-train", type=int, default=24000)
+    p.add_argument("--num-val", type=int, default=6000)
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--codebook", type=int, default=512)
+    p.add_argument("--stage1-epochs", type=int, default=100)
+    p.add_argument("--batch1", type=int, default=128)
+    p.add_argument("--lr1", type=float, default=1e-4)
+    p.add_argument("--beta1", type=float, default=2.0)
+    p.add_argument("--config", default="config/mage_mnist.yaml")
+    p.add_argument("--stage2-epochs", type=int, default=60)
+    p.add_argument("--batch2", type=int, default=16)
+    p.add_argument("--lr2", type=float, default=5e-5)
+    p.add_argument("--frames-length", type=int, default=16)
+    p.add_argument("--chunk", type=int, default=50)
+    p.add_argument("--skip-stage1", action="store_true")
+    p.add_argument("--skip-stage2", action="store_true")
+    p.add_argument("--eval-videos", type=int, default=64)
+    p.add_argument("--gifs", type=int, default=6)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args(argv)
+
+
+def log_metrics(out_dir, record):
+    record = dict(record, time=time.time())
+    with open(os.path.join(out_dir, "e2e_metrics.json"), "a") as fp:
+        fp.write(json.dumps(record) + "\n")
+    print("METRIC", json.dumps(record), flush=True)
+
+
+def mse_to_psnr(mse, data_range=1.0):
+    return float(10.0 * np.log10(data_range**2 / max(mse, 1e-12)))
+
+
+def frames_at(dev, split, idx, t):
+    """Compose frames (len(idx),) x stored-frame t on device."""
+    d = dev[split]
+    return dd.compose_frames_double(
+        dev["bank"], d["d1"][idx], d["ys1"][idx, t], d["xs1"][idx, t],
+        d["d2"][idx], d["ys2"][idx, t], d["xs2"][idx, t],
+        d["bg"][idx], d["bg_y"][idx], d["bg_x"][idx], d["has_bg"][idx],
+    )
+
+
+def clip_pixels(dev, split, i, pos):
+    """One speed-subsampled GT clip (L, 64, 64, 1) on device."""
+    d = dev[split]
+    ln = pos.shape[0]
+    return dd.compose_frames_double(
+        dev["bank"],
+        jnp.broadcast_to(d["d1"][i], (ln,)), d["ys1"][i, pos], d["xs1"][i, pos],
+        jnp.broadcast_to(d["d2"][i], (ln,)), d["ys2"][i, pos], d["xs2"][i, pos],
+        jnp.broadcast_to(d["bg"][i], (ln,)),
+        jnp.broadcast_to(d["bg_y"][i], (ln,)),
+        jnp.broadcast_to(d["bg_x"][i], (ln,)),
+        jnp.broadcast_to(d["has_bg"][i], (ln,)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 1
+# ---------------------------------------------------------------------------
+
+
+def stage1(args, dev, out_dir):
+    model = VectorQuantizedVAE(
+        input_dim=1, down_ratio=4, dim=args.dim, K=args.codebook
+    )
+    tx = vt.make_tx(args.lr1)
+    state = vt.create_state(
+        model, jax.random.PRNGKey(args.seed), jnp.zeros((1, 64, 64, 1)), tx
+    )
+    print(f"stage-1 params: "
+          f"{sum(x.size for x in jax.tree_util.tree_leaves(state.params)):,}")
+    ckpt = Checkpointer(os.path.join(out_dir, "vqvae"))
+
+    n = int(dev["train"]["d1"].shape[0])
+    b = args.batch1
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(state, rng, lr):
+        def body(carry, _):
+            state, rng = carry
+            rng, k1, k2 = jax.random.split(rng, 3)
+            s = jax.random.randint(k1, (b,), 0, n)
+            f = jax.random.randint(k2, (b,), 0, T_STORED)
+            frames = frames_at(dev, "train", s, f)
+
+            def loss_fn(params):
+                return vt.loss_terms(model, params, state.batch_stats, frames,
+                                     args.beta1, True)
+
+            grads, (mutated, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            updates, new_opt = tx.update(grads, opt_state, state.params)
+            state = state.replace(
+                step=state.step + 1,
+                params=jax.tree_util.tree_map(
+                    lambda p, u: p + u, state.params, updates
+                ),
+                batch_stats=mutated["batch_stats"],
+                opt_state=new_opt,
+            )
+            return (state, rng), aux["total"]
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), None, length=args.chunk)
+        return state, jnp.mean(losses)
+
+    n_val = int(dev["val"]["d1"].shape[0])
+    eval_b = min(512, n_val)
+
+    @jax.jit
+    def eval_recon(state, frame_idx):
+        s = jnp.arange(eval_b)
+        frames = frames_at(dev, "val", s, jnp.broadcast_to(frame_idx, (eval_b,)))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        ids = model.apply(variables, frames, method="encode", mutable=False)
+        recon = model.apply(variables, ids, method="decode", mutable=False)
+        used = jnp.unique(ids, size=args.codebook, fill_value=-1)
+        return jnp.mean((recon - frames) ** 2), jnp.sum(used >= 0), frames, recon
+
+    steps_per_epoch = max(n // b, 1)
+    chunks = max(round(steps_per_epoch / args.chunk), 1)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    best = float("inf")
+    t0 = time.time()
+    for epoch in range(args.stage1_epochs):
+        for _ in range(chunks):
+            rng, sub = jax.random.split(rng)
+            state, loss = train_chunk(state, sub, args.lr1)
+        if epoch % 10 == 0 or epoch == args.stage1_epochs - 1:
+            loss = float(jax.device_get(loss))
+            mse, used, frames, recon = eval_recon(state, jnp.int32(0))
+            mse, used = float(jax.device_get(mse)), int(jax.device_get(used))
+            log_metrics(out_dir, {
+                "phase": "stage1", "epoch": epoch, "train_loss": loss,
+                "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
+                "codebook_used": used,
+                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+            })
+            if mse < best:
+                best = mse
+                ckpt.save("best", jax.device_get(state))
+    ckpt.save("final", jax.device_get(state))
+
+    mse, used, frames, recon = eval_recon(state, jnp.int32(0))
+    f_np = np.asarray(jax.device_get(frames[: args.eval_videos]))
+    r_np = np.asarray(jax.device_get(recon[: args.eval_videos]))
+    ssim_val = float(np.mean([np_ssim(a, b, data_range=1.0)
+                              for a, b in zip(f_np[..., 0], r_np[..., 0])]))
+    final_mse = float(jax.device_get(mse))
+    log_metrics(out_dir, {
+        "phase": "stage1_final", "val_recon_mse": final_mse,
+        "val_recon_psnr": mse_to_psnr(final_mse), "val_ssim": ssim_val,
+        "codebook_used": int(jax.device_get(used)),
+    })
+    return model, state
+
+
+def materialize_latents(args, model, state, dev, split):
+    """Encode all 21 stored frames of every clip -> ids (N, 21, h, w)."""
+    d = dev[split]
+    n = int(d["d1"].shape[0])
+    chunk = 50
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def encode_chunk(idx):
+        c = idx.shape[0]
+        flat_idx = jnp.repeat(idx, T_STORED)
+        t = jnp.tile(jnp.arange(T_STORED), c)
+        frames = frames_at(dev, split, flat_idx, t)
+        ids = model.apply(variables, frames, method="encode", mutable=False)
+        return ids.reshape(c, T_STORED, *ids.shape[1:]).astype(jnp.int32)
+
+    outs = []
+    for i in range(0, n, chunk):
+        idx = jnp.arange(i, min(i + chunk, n))
+        if idx.shape[0] < chunk:  # static shapes: pad final chunk
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((chunk - idx.shape[0],), idx.dtype)]
+            )
+            outs.append(encode_chunk(idx)[: n - i])
+        else:
+            outs.append(encode_chunk(idx))
+    return jnp.concatenate(outs)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Stage 2
+# ---------------------------------------------------------------------------
+
+
+def build_pipeline(args, fs_variables):
+    from mage_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    cfg.model.params.first_stage_config.params.pop("ckpt_path", None)
+    cfg.model.params.first_stage_config.params.dim = args.dim
+    cfg.model.params.first_stage_config.params.K = args.codebook
+    cfg.model.params.codebook_size = args.codebook
+    cfg.model.params.frames_length = args.frames_length
+    cfg.model.params.generate_decoder_config.params.frames_length = args.frames_length
+    cfg.model.params.generate_decoder_config.params.out_channels = args.codebook
+    if args.tiny:
+        cfg.model.params.vision_width = 64
+        cfg.model.params.text_encoder_config.params.transformer_width = 64
+        cfg.model.params.text_encoder_config.params.output_dim = 64
+        cfg.model.params.text_encoder_config.params.transformer_layers = 1
+        cfg.model.params.ma_config.params.d_model = 64
+        for k, v in dict(in_channels=64, model_channels=64, layers=3).items():
+            cfg.model.params.generate_decoder_config.params[k] = v
+    from mage_tpu.models.pipeline import MagePipeline
+
+    return MagePipeline(first_stage_variables=fs_variables,
+                        **cfg.model.params.to_dict())
+
+
+def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
+    tx = make_mage_tx()
+    b = args.batch2
+    n = int(ids_train.shape[0])
+    ctx = pipeline.core.text_context_length
+    text_train = dev["train"]["text"]
+    text_val = dev["val"]["text"]
+    len_train = dev["train"]["length"]
+    len_val = dev["val"]["length"]
+
+    init_fn = jax.jit(
+        lambda rngs, lat, txt, spd: pipeline.core.init(
+            rngs, lat, txt, spd, train=True
+        )["params"]
+    )
+    params = init_fn(
+        {"params": jax.random.PRNGKey(args.seed),
+         "dropout": jax.random.PRNGKey(args.seed),
+         "latent": jax.random.PRNGKey(args.seed)},
+        jnp.zeros((1, args.frames_length, *ids_train.shape[2:]), jnp.int32),
+        jnp.zeros((1, ctx), jnp.int32),
+        jnp.zeros((1,), jnp.float32),
+    )
+    print(f"stage-2 params: "
+          f"{sum(x.size for x in jax.tree_util.tree_leaves(params)):,}")
+    opt_state = jax.jit(tx.init)(params)
+    step = jnp.zeros((), jnp.int32)
+    alpha, beta = pipeline.alpha, pipeline.beta
+
+    def batch_at(rng):
+        k1, k2 = jax.random.split(rng)
+        idx = jax.random.randint(k1, (b,), 0, n)
+        speed = jax.random.uniform(k2, (b,))
+        pos = jax.vmap(
+            lambda s, ln: dd.clip_indices_var(s, ln, args.frames_length)
+        )(speed, len_train[idx])
+        lat = ids_train[idx[:, None], pos]
+        return {"latents": lat, "text": text_train[idx], "speed": speed}
+
+    def loss_fn(params, batch, rng):
+        terms = pipeline.loss_terms(params, batch, rng, train=True)
+        final = terms["prediction"] + beta * terms["kl_loss"] + alpha * terms["speed_l2"]
+        terms["final_loss"] = final
+        return final, terms
+
+    if args.bf16:
+        base_loss = loss_fn
+        from mage_tpu.training.mage_trainer import cast_floating
+
+        def loss_fn(params, batch, rng):  # noqa: F811
+            final, terms = base_loss(cast_floating(params, jnp.bfloat16), batch, rng)
+            return final.astype(jnp.float32), jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.float32), terms
+            )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_chunk(params, opt_state, step, rng, lr):
+        def body(carry, _):
+            params, opt_state, step, rng = carry
+            rng, kb, kl = jax.random.split(rng, 3)
+            batch = batch_at(kb)
+            grads, terms = jax.grad(loss_fn, has_aux=True)(params, batch, kl)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return (params, opt_state, step + 1, rng), terms["final_loss"]
+
+        (params, opt_state, step, _), losses = jax.lax.scan(
+            body, (params, opt_state, step, rng), None, length=args.chunk
+        )
+        return params, opt_state, step, jnp.mean(losses)
+
+    n_val = int(ids_val.shape[0])
+    eval_b = min(64, n_val)
+
+    @jax.jit
+    def eval_chunk(params, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        idx = jax.random.randint(k1, (eval_b,), 0, n_val)
+        speed = jax.random.uniform(k2, (eval_b,))
+        pos = jax.vmap(
+            lambda s, ln: dd.clip_indices_var(s, ln, args.frames_length)
+        )(speed, len_val[idx])
+        batch = {"latents": ids_val[idx[:, None], pos], "text": text_val[idx],
+                 "speed": speed}
+        terms = pipeline.loss_terms(params, batch, k3, train=False)
+        return (terms["prediction"] + beta * terms["kl_loss"]
+                + alpha * terms["speed_l2"]), terms["prediction"]
+
+    steps_per_epoch = max(n // b, 1)
+    chunks = max(round(steps_per_epoch / args.chunk), 1)
+    rng = jax.random.PRNGKey(args.seed + 2)
+    ckpt = Checkpointer(os.path.join(out_dir, "mage"))
+    best = float("inf")
+    t0 = time.time()
+    for epoch in range(args.stage2_epochs):
+        lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
+        for _ in range(chunks):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, step, loss = train_chunk(params, opt_state, step, sub, lr)
+        if epoch % 5 == 0 or epoch == args.stage2_epochs - 1:
+            loss = float(jax.device_get(loss))
+            val_loss, val_pred = map(float, jax.device_get(
+                eval_chunk(params, jax.random.PRNGKey(args.seed + 3))
+            ))
+            log_metrics(out_dir, {
+                "phase": "stage2", "epoch": epoch, "lr": lr, "train_loss": loss,
+                "val_loss": val_loss, "val_prediction": val_pred,
+                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+            })
+            if val_loss < best:
+                best = val_loss
+                ckpt.save("best", {"step": jax.device_get(step),
+                                   "params": jax.device_get(params)})
+    ckpt.save("final", {"step": jax.device_get(step),
+                        "params": jax.device_get(params)})
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: generation PSNR + per-digit motion correctness
+# ---------------------------------------------------------------------------
+
+
+def track_digit(video: np.ndarray, template: np.ndarray) -> np.ndarray:
+    """Template-match one digit through a (L, 64, 64) video -> (L, 2) int
+    (y, x) positions. Zero-mean cross-correlation over all 37x37 valid
+    placements; the exact digit instance is known, so matched filtering is
+    reliable even with a same-looking distractor nearby."""
+    tm = template - template.mean()
+    L = video.shape[0]
+    hh = dd.IMAGE_SIZE - dd.DIGIT_SIZE + 1
+    pos = np.zeros((L, 2), np.int32)
+    # windowed sums via integral images keep this O(L * 37^2 * 28^2) small
+    for t in range(L):
+        frame = video[t]
+        best, by, bx = -1e9, 0, 0
+        # stride the frame into (37, 37, 28, 28) windows without copying
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wins = sliding_window_view(frame, (dd.DIGIT_SIZE, dd.DIGIT_SIZE))
+        score = np.einsum("yxhw,hw->yx", wins, tm, optimize=True)
+        iy, ix = np.unravel_index(np.argmax(score), score.shape)
+        pos[t] = (iy, ix)
+    return pos
+
+
+def motion_metrics(gen: np.ndarray, dev_host: dict, bank: np.ndarray,
+                   idx: np.ndarray, pos_all: np.ndarray) -> dict:
+    """Per-digit motion correctness of generated videos vs ground truth.
+
+    gen: (G, L-1, 64, 64) generated frames 1..L-1 in [-0.5, 0.5].
+    For each captioned digit: template-track it through the generated
+    video, compare to the GT trajectory at the same subsampled positions.
+    Reports mean per-frame position error (px), the fraction of digit
+    tracks within 5 px mean error ("motion correct"), and initial-direction
+    accuracy (sign of the first GT-significant displacement)."""
+    errs, correct, dir_ok, n_dir = [], 0, 0, 0
+    g = gen.shape[0]
+    for i in range(g):
+        ci = int(idx[i])
+        pos = pos_all[i]  # (L,) stored-frame indices
+        for dkey, ykey, xkey in (("d1", "ys1", "xs1"), ("d2", "ys2", "xs2")):
+            tmpl = bank[dev_host[dkey][ci]]
+            gt = np.stack([dev_host[ykey][ci, pos], dev_host[xkey][ci, pos]], -1)
+            tr = track_digit(gen[i], tmpl)  # frames 1..L-1
+            err = np.abs(tr - gt[1:]).mean()
+            errs.append(err)
+            correct += int(err <= 5.0)
+            # initial direction along the GT-moving axis
+            d_gt = gt[1:] - gt[0]
+            first = np.argmax(np.abs(d_gt).max(1) > 2)  # first real move
+            ax = int(np.abs(d_gt[first]).argmax())
+            if abs(d_gt[first][ax]) > 2:
+                n_dir += 1
+                d_tr = tr[first] - gt[0]
+                dir_ok += int(np.sign(d_tr[ax]) == np.sign(d_gt[first][ax]))
+    n = len(errs)
+    return {
+        "digit_tracks": n,
+        "mean_track_error_px": float(np.mean(errs)),
+        "motion_correct_frac": correct / n,
+        "initial_direction_acc": dir_ok / max(n_dir, 1),
+        "direction_cases": n_dir,
+    }
+
+
+def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
+    d = dev[split]
+    g = min(args.eval_videos, int(ids.shape[0]))
+    text = d["text"][:g]
+    speed = jnp.full((g,), 0.5, jnp.float32)
+    pos = jax.vmap(
+        lambda s, ln: dd.clip_indices_var(s, ln, args.frames_length)
+    )(speed, d["length"][:g])
+    fs_vars = pipeline.first_stage.variables
+
+    @jax.jit
+    def run(params):
+        lat0 = ids[:g, :1]
+        gen = pipeline.core.apply(
+            {"params": params}, lat0, text, speed, method="generate_cached",
+            rngs={"latent": jax.random.PRNGKey(7)},
+        )
+        video = pipeline.first_stage.decode(gen, variables=fs_vars)
+        gt = jax.vmap(lambda i: clip_pixels(dev, split, i, pos[i]))(jnp.arange(g))
+        recon_gt = pipeline.first_stage.decode(
+            ids[:g][jnp.arange(g)[:, None], pos], variables=fs_vars
+        )
+        mse_gen = jnp.mean((video - gt[:, 1:]) ** 2)
+        mse_recon = jnp.mean((recon_gt[:, 1:] - gt[:, 1:]) ** 2)
+        return video, gt, mse_gen, mse_recon
+
+    video, gt, mse_gen, mse_recon = run(params)
+    mse_gen = float(jax.device_get(mse_gen))
+    mse_recon = float(jax.device_get(mse_recon))
+
+    gen_np = np.asarray(jax.device_get(video))[..., 0]
+    dev_host = {k: np.asarray(jax.device_get(v))
+                for k, v in d.items() if k != "text"}
+    bank_np = np.asarray(jax.device_get(dev["bank"]))
+    mm = motion_metrics(gen_np, dev_host, bank_np, np.arange(g),
+                        np.asarray(jax.device_get(pos)))
+    log_metrics(out_dir, {
+        "phase": f"generation_{split}", "samples": g,
+        "gen_psnr_vs_gt": mse_to_psnr(mse_gen),
+        "recon_psnr_vs_gt_upper_bound": mse_to_psnr(mse_recon),
+        **mm,
+    })
+    few = np.asarray(jax.device_get(video[: args.gifs]))
+    few_gt = np.asarray(jax.device_get(gt[: args.gifs]))
+    os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
+    for i in range(few.shape[0]):
+        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2)
+        save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
+    return mse_gen
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.tiny:
+        args.num_train, args.num_val = 64, 16
+        args.dim, args.codebook = 16, 32
+        args.stage1_epochs, args.stage2_epochs = 2, 2
+        args.batch1, args.batch2, args.chunk = 8, 4, 2
+        args.eval_videos, args.gifs = 4, 1
+    os.makedirs(args.out, exist_ok=True)
+    print(f"devices: {jax.devices()}")
+
+    compact = dd.build_compact_double_modified(
+        args.num_train, args.num_val, args.seed, args.mnist_npz
+    )
+    dev = {
+        "bank": dd.normalize_bank(compact["bank"]),
+        "train": {k: jnp.asarray(v) for k, v in compact["train"].items()},
+        "val": {k: jnp.asarray(v) for k, v in compact["val"].items()},
+    }
+    print(f"resident dataset: {compact['bank'].nbytes/1e6:.1f} MB bank, "
+          f"{args.num_train} train / {args.num_val} val clips")
+
+    model = VectorQuantizedVAE(input_dim=1, down_ratio=4, dim=args.dim, K=args.codebook)
+    if args.skip_stage1:
+        tx = vt.make_tx(args.lr1)
+        state = vt.create_state(model, jax.random.PRNGKey(args.seed),
+                                jnp.zeros((1, 64, 64, 1)), tx)
+        state = Checkpointer(os.path.join(args.out, "vqvae")).restore("best", state)
+        state = jax.device_put(state)
+    else:
+        model, state = stage1(args, dev, args.out)
+
+    fs_variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.skip_stage2:
+        return
+    t0 = time.time()
+    ids_train = materialize_latents(args, model, state, dev, "train")
+    ids_val = materialize_latents(args, model, state, dev, "val")
+    ids_train.block_until_ready()
+    log_metrics(args.out, {"phase": "latents", "train_shape": list(ids_train.shape),
+                           "sec": time.time() - t0})
+
+    pipeline = build_pipeline(args, fs_variables)
+    params = stage2(args, pipeline, dev, ids_train, ids_val, args.out)
+    eval_generation(args, pipeline, params, dev, ids_val, "val", args.out)
+    eval_generation(args, pipeline, params, dev, ids_train, "train", args.out)
+
+
+if __name__ == "__main__":
+    main()
