@@ -95,6 +95,30 @@ def main():
     ms = time_fn(enc, fs_vars, dev_batch["images"], jax.random.PRNGKey(3))
     print(json.dumps({"variant": "encode0", "ms": round(ms, 1)}), flush=True)
 
+    # composition cells: the full pipeline minus one stage each, to
+    # attribute any gap between `full` and the sum of isolated components
+    first = dev_batch["images"][:, 0:1]
+
+    def gen_lat(p, l0):
+        return core.apply(
+            {"params": p}, l0, dev_batch["text"], dev_batch["speed"],
+            method="generate_cached", rngs={"latent": jax.random.PRNGKey(2)},
+        )
+
+    ar_dec = jax.jit(lambda p, fs, l0: jnp.sum(
+        pipeline.first_stage.decode(gen_lat(p, l0), variables=fs
+                                    ).astype(jnp.float32)))
+    ms = time_fn(ar_dec, params, fs_vars, latents0)
+    print(json.dumps({"variant": "ar_plus_decode", "ms": round(ms, 1)}),
+          flush=True)
+
+    ar_dec_cat = jax.jit(lambda p, fs, l0, fr: jnp.sum(jnp.concatenate(
+        [fr, pipeline.first_stage.decode(gen_lat(p, l0), variables=fs)], axis=1
+    ).astype(jnp.float32)))
+    ms = time_fn(ar_dec_cat, params, fs_vars, latents0, first)
+    print(json.dumps({"variant": "ar_decode_concat", "ms": round(ms, 1)}),
+          flush=True)
+
     full = jax.jit(lambda p, fs, b, r: jnp.sum(
         pipeline.generate(p, b, r, fs_variables=fs, cached=True).astype(jnp.float32)
     ))

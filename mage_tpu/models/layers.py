@@ -36,9 +36,11 @@ def _spatial_impl(dtype=None) -> str:
 
     env = os.environ.get("MAGE_SPATIAL_ATTN")
     if env:
-        if env not in ("pallas", "pallas_interpret", "xla"):
+        if env not in ("pallas", "pallas_interpret", "xla", "fusedblock",
+                       "fusedblock_interpret"):
             raise ValueError(
-                f"MAGE_SPATIAL_ATTN must be pallas|pallas_interpret|xla, got {env!r}"
+                "MAGE_SPATIAL_ATTN must be pallas|pallas_interpret|xla|"
+                f"fusedblock|fusedblock_interpret, got {env!r}"
             )
         return env
     try:
@@ -182,6 +184,18 @@ class AxialAttentionBlock(nn.Module):
         seq = moved.reshape(-1, shape[-2], shape[-1])
 
         drop = lambda y: self.resid_dropout(y, deterministic=not train)
+        impl = _spatial_impl(seq.dtype)
+        if attn_bias is None and not train and impl.startswith("fusedblock"):
+            # whole-block Pallas kernel: LN1 -> QKV -> attention -> proj ->
+            # LN2 -> MLP, fully VMEM-resident (ops/axial_attention.py);
+            # eval-mode only (dropout inactive), unmasked axes only
+            from mage_tpu.ops.axial_attention import axial_block_fused
+
+            out = axial_block_fused(
+                seq, self._fused_block_params(seq.dtype), self.n_head,
+                interpret=impl.endswith("interpret"),
+            )
+            return jnp.moveaxis(out.reshape(shape), -2, axis)
         h = self.ln_1(seq)
         if attn_bias is None and not train and _spatial_impl(h.dtype) != "xla":
             # fused flat-layout attention (default for bf16 on TPU): same
@@ -204,6 +218,37 @@ class AxialAttentionBlock(nn.Module):
         seq = seq + drop(self.mlp(self.ln_2(seq)))
 
         return jnp.moveaxis(seq.reshape(shape), -2, axis)
+
+    def _fused_block_params(self, dtype):
+        """Flattened 2-D parameter tuple for ops/axial_attention.py::
+        axial_block_fused (biases/LN affines as (1, F): 1-D intermediates
+        register-spill on v5e Mosaic)."""
+        d = self.d_model
+        ap = self.attn.variables["params"]
+        ln1 = self.ln_1.variables["params"]
+        ln2 = self.ln_2.variables["params"]
+        mp = self.mlp.variables["params"]
+
+        def w2(kern):
+            return jnp.asarray(kern).reshape(d, -1).astype(dtype)
+
+        def wo2(kern):
+            return jnp.asarray(kern).reshape(-1, d).astype(dtype)
+
+        def b2(b):
+            return jnp.asarray(b).reshape(1, -1).astype(dtype)
+
+        return (
+            b2(ln1["scale"]), b2(ln1["bias"]),
+            w2(ap["q_proj"]["kernel"]), b2(ap["q_proj"]["bias"]),
+            w2(ap["k_proj"]["kernel"]), b2(ap["k_proj"]["bias"]),
+            w2(ap["v_proj"]["kernel"]), b2(ap["v_proj"]["bias"]),
+            wo2(ap["out_proj"]["kernel"]), b2(ap["out_proj"]["bias"]),
+            b2(ln2["scale"]), b2(ln2["bias"]),
+            w2(mp["c_fc"]["kernel"]), b2(mp["c_fc"]["bias"]),
+            jnp.asarray(mp["c_proj"]["kernel"]).astype(dtype),
+            b2(mp["c_proj"]["bias"]),
+        )
 
     def incremental_temporal(
         self,

@@ -66,3 +66,27 @@ def test_axial_pallas_partitions_without_gather(mesh8):
     hlo = fn.lower(qs, ks, vs).compile().as_text()
     for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
         assert coll not in hlo, coll
+
+
+def test_fused_block_matches_xla_block(monkeypatch):
+    """MAGE_SPATIAL_ATTN=fusedblock_interpret: the whole-block Pallas
+    kernel (LN1 -> QKV -> attention -> proj -> LN2 -> MLP) must match the
+    unfused eval-mode block."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mage_tpu.models.layers import AxialAttentionBlock
+
+    blk = AxialAttentionBlock(d_model=64, n_head=2, dropout=0.1, axial_dim=2)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 3, 5, 4, 64))
+    params = blk.init(rng, x, train=False)
+    monkeypatch.setenv("MAGE_SPATIAL_ATTN", "xla")
+    ref = blk.apply(params, x, train=False)
+    monkeypatch.setenv("MAGE_SPATIAL_ATTN", "fusedblock_interpret")
+    fused = blk.apply(params, x, train=False)
+    assert fused.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

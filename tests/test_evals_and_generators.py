@@ -161,3 +161,37 @@ def test_eval_precision_self_test():
     import eval_precision
 
     assert eval_precision.self_test() == 0
+
+
+def test_sen_parse_robust_to_malformed_text():
+    """The parser's real input is SwinBERT-*generated* captions
+    (reference README.md:9-16), which can leave the closed grammar.
+    Malformed sentences must degrade gracefully (no exceptions, sane
+    partial parses), never crash the metric run."""
+    from mage_tpu.evals.precision import cross_check, sen_parse
+
+    cases = [
+        "",  # empty
+        "...",  # punctuation only
+        "the the the sliding",  # no attributes, dangling verb
+        "a red thing is sliding to quadrant",  # quadrant word missing
+        "sliding sliding sliding to the ( , ) position",  # broken coordinate
+        "the sphere is sliding to ( 3 position",  # unclosed paren
+        "the gold snitch is picked and and placed",  # no target at all
+        "qwerty uiop 12345 () !!",  # garbage tokens
+        "the cube is containing",  # contain with no object
+        "the [CLS] [SEP] cone is rotating rotating",  # repeated verb + tags
+        "the metal cylinder is sliding to (-3, -2) and also flying",  # off-grammar verb
+    ]
+    for text in cases:
+        for mode in ("ambiguous", "explicit"):
+            parses = sen_parse(text, mode)  # must not raise
+            for p in parses:
+                assert set(p) == {"subject", "motion", "object"}
+                assert p["motion"] in (None, "slide", "rotate",
+                                       "pick-place", "pick-contain")
+    # and the per-video scoring path tolerates the degraded parses
+    gt = sen_parse("the gold snitch is sliding to the first quadrant .")
+    for text in cases:
+        ap, rp = cross_check(gt, sen_parse(text))
+        assert 0.0 <= ap <= 1.0 and 0.0 <= rp <= 1.0
