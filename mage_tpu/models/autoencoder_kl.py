@@ -177,11 +177,12 @@ class _Up(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        # measured on v5e (BENCH_NOTES.md): the straightforward
-        # broadcast-upsample + conv is the fastest of the three exact
-        # formulations (XLA fuses the broadcast well); the FLOP-reduced
-        # variants remain as opt-ins for different hardware/shape regimes.
-        variant = os.environ.get("MAGE_KL_UP", "naive")
+        # measured on v5e, 480-frame 128px decode (BENCH_NOTES.md):
+        # dilated 347 ms < naive 416 < phased 434 — the native
+        # lhs-dilation path realizes the 2.25x upsample-conv FLOP cut
+        # without the phase-interleave layout traffic. All three are
+        # exact; MAGE_KL_UP selects.
+        variant = os.environ.get("MAGE_KL_UP", "dilated")
         if variant == "phased":
             return _PhasedUpConv(c, name="conv")(x)
         if variant == "dilated":
