@@ -31,7 +31,13 @@ class DiagonalGaussian:
         self.std = jnp.exp(0.5 * self.logvar)
 
     def sample(self, rng: jax.Array) -> jax.Array:
-        return self.mean + self.std * jax.random.normal(rng, self.mean.shape)
+        # noise drawn in the moments' dtype: f32 noise would silently
+        # promote bf16 latents to f32 and drag the whole downstream
+        # transformer out of bf16 (measured: +110 ms on the MAGE+
+        # generate call — BENCH_NOTES.md)
+        return self.mean + self.std * jax.random.normal(
+            rng, self.mean.shape, self.mean.dtype
+        )
 
     def mode(self) -> jax.Array:
         return self.mean
