@@ -102,6 +102,39 @@ def make_train_step(model: VectorQuantizedVAE, tx, beta: float, mesh):
     return train_step
 
 
+def make_restart_dead_codes(model: VectorQuantizedVAE):
+    """Dead-codebook-entry restart (OPT-IN; the reference has no revival
+    mechanism and MNIST-scale runs collapse to ~7/512 active codes —
+    BENCH_NOTES.md "Trained-to-quality"). Classic k-means++-style revival:
+    encode a probe batch, histogram the selected ids, and re-seed every
+    code whose usage count is zero to a random encoder output (+ tiny
+    noise so simultaneous restarts stay distinct). Exact no-op for codes
+    in use; leaves optimizer moments untouched (the next gradient step
+    re-estimates them)."""
+
+    @jax.jit
+    def restart(state: VQVAETrainState, images, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # encoder features at the pre-VQ point: run the full forward and
+        # take z_e; ids via encode (both jitted into one program)
+        _, z_e, _ = model.apply(variables, images, train=True,
+                                mutable=["batch_stats"])[0]
+        ids = model.apply(variables, images, method="encode", mutable=False)
+        codebook = state.params["codebook"]
+        k, d = codebook.shape
+        counts = jnp.zeros((k,), jnp.int32).at[ids.reshape(-1)].add(1)
+        dead = counts == 0
+        feats = z_e.reshape(-1, d)
+        pick = jax.random.randint(rng, (k,), 0, feats.shape[0])
+        noise = 0.01 * jax.random.normal(rng, (k, d), codebook.dtype)
+        seeds = feats[pick].astype(codebook.dtype) + noise
+        new_codebook = jnp.where(dead[:, None], seeds, codebook)
+        params = dict(state.params, codebook=new_codebook)
+        return state.replace(params=params), jnp.sum(dead)
+
+    return restart
+
+
 def make_eval_step(model: VectorQuantizedVAE, beta: float):
     @jax.jit
     def eval_step(state: VQVAETrainState, images):
@@ -147,6 +180,7 @@ class VQVAETrainer:
         log_dir: str = "./logs/vqvae",
         ckpt_dir: str = "./models/vqvae",
         seed: int = 0,
+        codebook_restart: bool = False,
     ):
         self.model = model
         self.beta = beta
@@ -159,6 +193,12 @@ class VQVAETrainer:
         self.train_step = make_train_step(model, self.tx, beta, self.mesh)
         self.eval_step = make_eval_step(model, beta)
         self.reconstruct = make_reconstruct(model)
+        # opt-in dead-code revival (off = reference parity; see
+        # make_restart_dead_codes)
+        self.codebook_restart = codebook_restart
+        self.restart_dead = (
+            make_restart_dead_codes(model) if codebook_restart else None
+        )
         self.state: Optional[VQVAETrainState] = None
         self.steps = 0
 
@@ -200,6 +240,16 @@ class VQVAETrainer:
                     self.writer.add_scalars(
                         "loss/train/", {k: float(v) for k, v in aux.items()}, self.steps
                     )
+            if self.restart_dead is not None:
+                # probe = the epoch's last batch; codes it never selects
+                # get re-seeded to random encoder outputs
+                self.state, n_dead = self.restart_dead(
+                    self.state, images,
+                    jax.random.PRNGKey(self.seed * 100003 + epoch),
+                )
+                self.writer.add_scalar(
+                    "codebook/restarted", int(jax.device_get(n_dead)), self.steps
+                )
             timer.toc()
 
             losses = self.evaluate(test_loader)

@@ -125,3 +125,37 @@ def test_decoder_block_fused_upsample_exact():
         out_naive = naive.apply(variables, _upsample_nearest(x))
         assert out_fused.shape == (2, 12, 12, cout)
         np.testing.assert_array_equal(np.asarray(out_fused), np.asarray(out_naive))
+
+
+def test_dead_code_restart_revives_unused_codes():
+    """Opt-in codebook revival: codes a probe batch never selects are
+    re-seeded to encoder outputs; codes in use are untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from mage_tpu.models.vqvae import VectorQuantizedVAE
+    from mage_tpu.training import vqvae_trainer as vt
+
+    model = VectorQuantizedVAE(input_dim=1, down_ratio=4, dim=16, K=32)
+    tx = vt.make_tx(1e-4)
+    state = vt.create_state(model, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 1)), tx)
+    # collapse: push half the codebook far away so it is never selected
+    cb = state.params["codebook"]
+    far = cb.at[16:].set(1e3)
+    state = state.replace(params=dict(state.params, codebook=far))
+    images = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 1)) - 0.5
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ids_before = model.apply(variables, images, method="encode", mutable=False)
+    used = np.unique(np.asarray(ids_before))
+    assert used.max() < 16  # the far half is dead
+
+    restart = vt.make_restart_dead_codes(model)
+    new_state, n_dead = restart(state, images, jax.random.PRNGKey(2))
+    n_dead = int(n_dead)
+    assert n_dead >= 16
+    new_cb = np.asarray(new_state.params["codebook"])
+    old_cb = np.asarray(far)
+    np.testing.assert_array_equal(new_cb[used], old_cb[used])  # used intact
+    assert np.abs(new_cb[16:]).max() < 100  # dead rows re-seeded near data

@@ -37,6 +37,10 @@ def parse_args(argv=None):
     parser.add_argument("--resume", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-every", type=int, default=50)
+    parser.add_argument("--codebook-restart", action="store_true",
+                        help="re-seed dead codebook entries each epoch "
+                             "(beyond reference: revival insurance against "
+                             "codebook collapse)")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for multi-host meshes")
     return parser.parse_args(argv)
@@ -94,6 +98,7 @@ def main(argv=None):
         log_dir=os.path.join(args.log_folder, args.output_folder),
         ckpt_dir=os.path.join(args.model_folder, args.output_folder),
         seed=args.seed,
+        codebook_restart=args.codebook_restart,
     )
     import jax
 
