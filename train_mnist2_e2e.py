@@ -297,15 +297,19 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
     step = jnp.zeros((), jnp.int32)
     alpha, beta = pipeline.alpha, pipeline.beta
 
-    def batch_at(rng):
+    # resident latents/text ride as jit ARGUMENTS, not closure constants:
+    # the remote AOT compile helper serializes closed-over device arrays
+    # with the program, and the 0.5 GB id array overflows its request
+    # limit (HTTP 413 — hit by the KL chain's 0.8 GB moments)
+    def batch_at(rng, ids, text):
         k1, k2 = jax.random.split(rng)
         idx = jax.random.randint(k1, (b,), 0, n)
         speed = jax.random.uniform(k2, (b,))
         pos = jax.vmap(
             lambda s, ln: dd.clip_indices_var(s, ln, args.frames_length)
         )(speed, len_train[idx])
-        lat = ids_train[idx[:, None], pos]
-        return {"latents": lat, "text": text_train[idx], "speed": speed}
+        lat = ids[idx[:, None], pos]
+        return {"latents": lat, "text": text[idx], "speed": speed}
 
     def loss_fn(params, batch, rng):
         terms = pipeline.loss_terms(params, batch, rng, train=True)
@@ -324,11 +328,11 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
             )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_chunk(params, opt_state, step, rng, lr):
+    def train_chunk(params, opt_state, step, rng, lr, ids, text):
         def body(carry, _):
             params, opt_state, step, rng = carry
             rng, kb, kl = jax.random.split(rng, 3)
-            batch = batch_at(kb)
+            batch = batch_at(kb, ids, text)
             grads, terms = jax.grad(loss_fn, has_aux=True)(params, batch, kl)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -344,14 +348,14 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
     eval_b = min(64, n_val)
 
     @jax.jit
-    def eval_chunk(params, rng):
+    def eval_chunk(params, rng, ids, text):
         k1, k2, k3 = jax.random.split(rng, 3)
         idx = jax.random.randint(k1, (eval_b,), 0, n_val)
         speed = jax.random.uniform(k2, (eval_b,))
         pos = jax.vmap(
             lambda s, ln: dd.clip_indices_var(s, ln, args.frames_length)
         )(speed, len_val[idx])
-        batch = {"latents": ids_val[idx[:, None], pos], "text": text_val[idx],
+        batch = {"latents": ids[idx[:, None], pos], "text": text[idx],
                  "speed": speed}
         terms = pipeline.loss_terms(params, batch, k3, train=False)
         return (terms["prediction"] + beta * terms["kl_loss"]
@@ -367,11 +371,13 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
         lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
-            params, opt_state, step, loss = train_chunk(params, opt_state, step, sub, lr)
+            params, opt_state, step, loss = train_chunk(
+                params, opt_state, step, sub, lr, ids_train, text_train)
         if epoch % 5 == 0 or epoch == args.stage2_epochs - 1:
             loss = float(jax.device_get(loss))
             val_loss, val_pred = map(float, jax.device_get(
-                eval_chunk(params, jax.random.PRNGKey(args.seed + 3))
+                eval_chunk(params, jax.random.PRNGKey(args.seed + 3),
+                           ids_val, text_val)
             ))
             log_metrics(out_dir, {
                 "phase": "stage2", "epoch": epoch, "lr": lr, "train_loss": loss,

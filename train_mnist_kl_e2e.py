@@ -319,13 +319,17 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
     step = jnp.zeros((), jnp.int32)
     compute_dtype = jnp.bfloat16 if args.bf16 else None
 
-    def batch_at(rng):
+    # the resident moments/text arrays are passed as jit ARGUMENTS, not
+    # closure constants: closed-over device arrays are serialized with the
+    # program by the remote AOT compile helper, and the 0.8 GB moments
+    # array overflows its request limit (HTTP 413)
+    def batch_at(rng, mom, text):
         k1, k2, k3 = jax.random.split(rng, 3)
         idx = jax.random.randint(k1, (b,), 0, n)
         speed = jax.random.uniform(k2, (b,))
         pos = jax.vmap(lambda s: dd.clip_indices(s, frames_length=args.frames_length))(speed)
-        lat = sample_latents(mom_train[idx[:, None], pos], k3)
-        return {"latents": lat, "text": text_train[idx], "speed": speed}
+        lat = sample_latents(mom[idx[:, None], pos], k3)
+        return {"latents": lat, "text": text[idx], "speed": speed}
 
     def loss_fn(params, batch, rng, pid_state):
         if compute_dtype is not None:
@@ -344,11 +348,11 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
         return final, (terms, new_pid)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_chunk(params, opt_state, step, pid_state, rng, lr):
+    def train_chunk(params, opt_state, step, pid_state, rng, lr, mom, text):
         def body(carry, _):
             params, opt_state, step, pid_state, rng = carry
             rng, kb, kl = jax.random.split(rng, 3)
-            batch = batch_at(kb)
+            batch = batch_at(kb, mom, text)
             grads, (terms, pid_state) = jax.grad(loss_fn, has_aux=True)(
                 params, batch, kl, pid_state
             )
@@ -369,13 +373,13 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
     eval_b = min(64, n_val)
 
     @jax.jit
-    def eval_chunk(params, beta, rng):
+    def eval_chunk(params, beta, rng, mom, text):
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         idx = jax.random.randint(k1, (eval_b,), 0, n_val)
         speed = jax.random.uniform(k2, (eval_b,))
         pos = jax.vmap(lambda s: dd.clip_indices(s, frames_length=args.frames_length))(speed)
-        batch = {"latents": sample_latents(mom_val[idx[:, None], pos], k4),
-                 "text": text_val[idx], "speed": speed}
+        batch = {"latents": sample_latents(mom[idx[:, None], pos], k4),
+                 "text": text[idx], "speed": speed}
         p = cast_floating(params, compute_dtype) if compute_dtype else params
         terms = pipeline.loss_terms(p, batch, k3, train=False,
                                     compute_dtype=compute_dtype)
@@ -395,12 +399,14 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
             (params, opt_state, step, pid_state, loss, klm, beta) = train_chunk(
-                params, opt_state, step, pid_state, sub, lr
+                params, opt_state, step, pid_state, sub, lr, mom_train,
+                text_train,
             )
         if epoch % 5 == 0 or epoch == args.stage2_epochs - 1:
             loss, klm, beta = map(float, jax.device_get((loss, klm, beta)))
             val_loss, val_pred = map(float, jax.device_get(
-                eval_chunk(params, beta, jax.random.PRNGKey(args.seed + 3))
+                eval_chunk(params, beta, jax.random.PRNGKey(args.seed + 3),
+                           mom_val, text_val)
             ))
             log_metrics(out_dir, {
                 "phase": "stage2", "epoch": epoch, "lr": lr, "train_loss": loss,
