@@ -277,3 +277,44 @@ def test_nested_targets_select_classes():
         params, batch, jax.random.PRNGKey(1), train=False
     )
     assert np.isfinite(float(terms["prediction"]))
+
+
+def test_bert_pretrained_weight_path_round_trip(tmp_path):
+    """The pretrained-BERT path end to end with a locally-SAVED checkpoint
+    (no hub access): save a tiny FlaxBertModel with save_pretrained, build
+    BertTextualHead(bert_path=...), graft load_pretrained_bert_params'
+    tree under params['bert'], and verify the grafted forward differs from
+    the random init and matches the source model's encodings."""
+    import numpy as np
+    from transformers import BertConfig, FlaxBertModel
+
+    from mage_tpu.models.text_heads import (
+        BertTextualHead,
+        load_pretrained_bert_params,
+    )
+
+    cfg = BertConfig(
+        vocab_size=30, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=16, pad_token_id=0,
+    )
+    src = FlaxBertModel(cfg, seed=7)
+    src.save_pretrained(tmp_path / "tiny_bert")
+
+    head = BertTextualHead(out_dim=24, bert_path=str(tmp_path / "tiny_bert"))
+    text = jnp.zeros((2, 10), jnp.int32).at[:, 0].set(1).at[:, 1:6].set(5)
+    variables = head.init(jax.random.PRNGKey(0), text, train=False)
+    rand_out = head.apply(variables, text, train=False)
+
+    pretrained = load_pretrained_bert_params(str(tmp_path / "tiny_bert"))
+    grafted = dict(variables["params"], bert=pretrained)
+    out = head.apply({"params": grafted}, text, train=False)
+    assert out.shape == (2, 10, 24)
+    assert np.abs(np.asarray(out) - np.asarray(rand_out)).max() > 1e-4
+
+    # the grafted hidden states equal the source model's
+    src_hidden = src(np.asarray(text), np.asarray(text != 0, np.int32))
+    expect = np.asarray(src_hidden.last_hidden_state) @ np.asarray(
+        grafted["text_projection_key"]
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
