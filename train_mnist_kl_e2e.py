@@ -434,10 +434,14 @@ def eval_generation(args, pipeline, params, dev, mom, split, out_dir):
     g = min(args.eval_videos, int(mom.shape[0]))
     K = args.diversity_samples
     text = d["text"][:g]
-    speed = jnp.full((g,), 0.5, jnp.float32)
-    pos = jax.vmap(lambda s: dd.clip_indices(s, frames_length=args.frames_length))(speed)
+    speed_f32 = jnp.full((g,), 0.5, jnp.float32)
+    # subsample indices from f32 speed (exact threshold math), model input
+    # in compute dtype (f32 speed would promote the anchor out of bf16 and
+    # dtype-clash with the bf16 KV cache)
+    pos = jax.vmap(lambda s: dd.clip_indices(s, frames_length=args.frames_length))(speed_f32)
     fs_vars = pipeline.first_stage.variables
     compute_dtype = jnp.bfloat16 if args.bf16 else None
+    speed = speed_f32.astype(compute_dtype) if compute_dtype else speed_f32
     p_use = cast_floating(params, compute_dtype) if compute_dtype else params
     # frame-0 latents: posterior MODE of the stored moments (eval determinism)
     lat0 = DiagonalGaussian(
