@@ -274,6 +274,14 @@ class AutoencoderKL(nn.Module):
     attn_resolutions: Sequence[int] = ()
     resolution: int = 128
     dropout: float = 0.0
+    # constant shift on the predicted logvar. The reference's PRETRAINED
+    # ldm AE has near-deterministic posteriors (std << mean scale); a
+    # short MSE-only training leaves logvar at its ~0 init, so sampled
+    # latents are mostly noise (measured: posterior var 0.92 vs mean
+    # power 0.06 on the 40-epoch MNIST f4 — stage-2 targets then have
+    # ~15:1 noise:signal). logvar_bias = -6 starts the posterior tight
+    # (std ~ 0.05), matching the pretrained regime; 0 = plain init.
+    logvar_bias: float = 0.0
 
     def setup(self):
         self.encoder = Encoder(
@@ -292,7 +300,14 @@ class AutoencoderKL(nn.Module):
         self.post_quant_conv = nn.Conv(self.z_channels, (1, 1))
 
     def encode_moments(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return self.quant_conv(self.encoder(x, train))
+        moments = self.quant_conv(self.encoder(x, train))
+        if self.logvar_bias:
+            mean, logvar = jnp.split(moments, 2, axis=-1)
+            moments = jnp.concatenate(
+                [mean, logvar + jnp.asarray(self.logvar_bias, logvar.dtype)],
+                axis=-1,
+            )
+        return moments
 
     def decode(self, z: jax.Array, train: bool = False) -> jax.Array:
         return self.decoder(self.post_quant_conv(z), train)
@@ -333,6 +348,7 @@ class FirstStageKL:
             attn_resolutions=tuple(dd.get("attn_resolutions", ())),
             resolution=dd.get("resolution", 128),
             dropout=dd.get("dropout", 0.0),
+            logvar_bias=dd.get("logvar_bias", 0.0),
         )
         if variables is None:
             if ckpt_path:

@@ -66,6 +66,13 @@ def parse_args(argv=None):
     p.add_argument("--ae-batch", type=int, default=64)
     p.add_argument("--ae-lr", type=float, default=1e-4)
     p.add_argument("--ae-kl-weight", type=float, default=1e-6)
+    p.add_argument("--ae-logvar-bias", type=float, default=0.0,
+                   help="constant shift on the AE's predicted logvar "
+                        "(-6 ~ the pretrained-ldm tight-posterior regime)")
+    p.add_argument("--posterior-logvar-shift", type=float, default=0.0,
+                   help="stage-2-only post-hoc logvar shift when sampling "
+                        "targets from stored moments (reuse an "
+                        "already-trained AE with quieter samples)")
     # stage 2
     p.add_argument("--config", default="config/mage+_mnist.yaml")
     p.add_argument("--stage2-epochs", type=int, default=50)
@@ -127,6 +134,7 @@ def make_ae(args):
     return AutoencoderKL(
         embed_dim=4, ch=args.ae_ch, ch_mult=(1, 2, 4), num_res_blocks=2,
         in_channels=1, out_ch=1, z_channels=4, double_z=True, resolution=64,
+        logvar_bias=args.ae_logvar_bias,
     )
 
 
@@ -284,10 +292,15 @@ def build_pipeline(args, ae_model, ae_params):
     )
 
 
-def sample_latents(moments, rng):
+def sample_latents(moments, rng, logvar_shift=0.0):
     """(..., 8) bf16 moments -> (..., 4) sampled latents (stochastic
-    per-step targets, reference mage_model.py:542-549)."""
-    post = DiagonalGaussian(moments.astype(jnp.float32))
+    per-step targets, reference mage_model.py:542-549). ``logvar_shift``
+    quiets the posterior post hoc (see --posterior-logvar-shift)."""
+    mom = moments.astype(jnp.float32)
+    if logvar_shift:
+        mean, logvar = jnp.split(mom, 2, axis=-1)
+        mom = jnp.concatenate([mean, logvar + logvar_shift], axis=-1)
+    post = DiagonalGaussian(mom)
     return post.sample(rng).astype(jnp.bfloat16)
 
 
@@ -299,6 +312,7 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
     text_train = dev["train"]["text"]
     text_val = dev["val"]["text"]
     v_kl = pipeline.v_kl
+    lv_shift = args.posterior_logvar_shift
 
     init_fn = jax.jit(
         lambda rngs, lat, txt, spd: pipeline.core.init(
@@ -328,7 +342,7 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
         idx = jax.random.randint(k1, (b,), 0, n)
         speed = jax.random.uniform(k2, (b,))
         pos = jax.vmap(lambda s: dd.clip_indices(s, frames_length=args.frames_length))(speed)
-        lat = sample_latents(mom[idx[:, None], pos], k3)
+        lat = sample_latents(mom[idx[:, None], pos], k3, lv_shift)
         return {"latents": lat, "text": text[idx], "speed": speed}
 
     def loss_fn(params, batch, rng, pid_state):
@@ -378,7 +392,7 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
         idx = jax.random.randint(k1, (eval_b,), 0, n_val)
         speed = jax.random.uniform(k2, (eval_b,))
         pos = jax.vmap(lambda s: dd.clip_indices(s, frames_length=args.frames_length))(speed)
-        batch = {"latents": sample_latents(mom[idx[:, None], pos], k4),
+        batch = {"latents": sample_latents(mom[idx[:, None], pos], k4, lv_shift),
                  "text": text[idx], "speed": speed}
         p = cast_floating(params, compute_dtype) if compute_dtype else params
         terms = pipeline.loss_terms(p, batch, k3, train=False,
