@@ -83,6 +83,10 @@ def parse_args(argv=None):
     p.add_argument("--chunk", type=int, default=50)
     p.add_argument("--skip-ae", action="store_true")
     p.add_argument("--skip-stage2", action="store_true")
+    p.add_argument("--eval-only", action="store_true",
+                   help="restore <out>/mage/<--eval-ckpt> and run the "
+                        "evaluation suite only")
+    p.add_argument("--eval-ckpt", default="final")
     p.add_argument("--eval-videos", type=int, default=32)
     p.add_argument("--diversity-samples", type=int, default=8)
     p.add_argument("--gifs", type=int, default=4)
@@ -630,7 +634,26 @@ def main(argv=None):
                            "sec": time.time() - t0})
 
     pipeline = build_pipeline(args, model, ae_params)
-    params = stage2(args, pipeline, dev, mom_train, mom_val, args.out)
+    if args.eval_only:
+        ctx = pipeline.core.text_context_length
+        init_fn = jax.jit(
+            lambda: pipeline.core.init(
+                {"params": jax.random.PRNGKey(args.seed),
+                 "dropout": jax.random.PRNGKey(args.seed),
+                 "latent": jax.random.PRNGKey(args.seed)},
+                jnp.zeros((1, args.frames_length, 16, 16, 4), jnp.float32),
+                jnp.zeros((1, ctx), jnp.int32), jnp.zeros((1,), jnp.float32),
+                train=True,
+            )["params"]
+        )
+        template = {"step": jnp.zeros((), jnp.int32),
+                    "params": jax.device_get(init_fn())}
+        restored = Checkpointer(os.path.join(args.out, "mage")).restore(
+            args.eval_ckpt, template
+        )
+        params = jax.device_put(restored["params"])
+    else:
+        params = stage2(args, pipeline, dev, mom_train, mom_val, args.out)
     eval_generation(args, pipeline, params, dev, mom_val, "val", args.out)
 
 
