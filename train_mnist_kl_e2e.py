@@ -614,10 +614,13 @@ def main(argv=None):
 
     if args.skip_ae:
         model = make_ae(args)
+        # jit the template init: eager per-op init through the remote
+        # relay costs hundreds of RTTs (~10 min at this size)
+        tmpl = jax.jit(lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 64, 64, 1)), jax.random.PRNGKey(0))["params"])()
         restored = Checkpointer(os.path.join(args.out, "klae")).restore(
-            "best", {"params": model.init(
-                {"params": jax.random.PRNGKey(0)},
-                jnp.zeros((1, 64, 64, 1)), jax.random.PRNGKey(0))["params"]}
+            "best", {"params": jax.device_get(tmpl)}
         )
         ae_params = jax.device_put(restored["params"])
     else:
