@@ -294,6 +294,38 @@ def compose_clip(
     )
 
 
+def compose_frames_cater(
+    bank: jax.Array,  # (K, 32, 32, 4) float sprites, alpha in [..., 3]
+    background: jax.Array,  # (128, 128, 3) float
+    sid: jax.Array,  # (M, S) int32 sprite ids, painter's order
+    top: jax.Array,  # (M, S) int32
+    left: jax.Array,  # (M, S) int32
+) -> jax.Array:
+    """Render M synthetic-CATER frames on device -> (M, 128, 128, 3).
+
+    Sequential alpha-masked paste per slot (dynamic_slice the patch, blend
+    where alpha > 0, dynamic_update_slice back) — the device twin of
+    generators/cater_synthetic.render_frame, bit-identical on uint8-scaled
+    inputs (tested in tests/test_cater_synthetic.py)."""
+    S = sid.shape[-1]
+    sp = bank.shape[1]
+
+    def one(sid_row, top_row, left_row):
+        def paste(img, s):
+            spr = bank[sid_row[s]]
+            y, x = top_row[s], left_row[s]
+            patch = jax.lax.dynamic_slice(img, (y, x, 0), (sp, sp, 3))
+            blended = jnp.where(spr[..., 3:4] > 0, spr[..., :3], patch)
+            return jax.lax.dynamic_update_slice(img, blended, (y, x, 0))
+
+        img = background
+        for s in range(S):  # S is small (4): unrolled pastes
+            img = paste(img, s)
+        return img
+
+    return jax.vmap(one)(sid, top, left)
+
+
 def _count_thresholds(seq_length: int) -> np.ndarray:
     """Largest float32 speed for which round(seq/interval) >= k, for
     k = seq//2+1 .. seq (interval = 1 + speed, sample_speed [1, 2]).
