@@ -208,19 +208,23 @@ def sample_scene(rng: np.random.RandomState, n_objects: int = 4) -> dict:
         objects.append(o)
 
     mover_ids = list(rng.choice(n_objects, size=2, replace=False))
-    # containment needs a cone mover and a static target
+    # containment needs a cone mover and a strictly smaller static target
+    # (the landed cone must cover it, the reference's occlusion semantics)
     cone_ids = [i for i in mover_ids if objects[i]["shape"] == "cone"]
     movements = {}
     tracks = {}
     dests = list(taken)
-    half = T_STORE // 2
-    windows = [(0, half + int(rng.randint(4))), (half - int(rng.randint(4)),
-                                                 T_STORE)]
+    # action windows complete by T_STORE-2 so every action (including a
+    # containing cone's descent) finishes inside the stored video
+    windows = [(0, 10 + int(rng.randint(3))),
+               (8 + int(rng.randint(4)), 20 + int(rng.randint(3)))]
     for k, i in enumerate(mover_ids):
         o = objects[i]
         choices = ["_slide", "_rotate", "_pick_place"]
         statics = [j for j in range(n_objects) if j not in mover_ids]
-        if i in cone_ids and statics:
+        containable = [j for j in statics
+                       if SIZES[objects[j]["size"]] < SIZES[o["size"]]]
+        if i in cone_ids and containable:
             choices.append("_contain")
         action = choices[rng.randint(len(choices))]
         start, end = windows[k]
@@ -229,7 +233,7 @@ def sample_scene(rng: np.random.RandomState, n_objects: int = 4) -> dict:
         if action == "_rotate":
             x1, y1 = x0, y0
         elif action == "_contain":
-            j = statics[rng.randint(len(statics))]
+            j = containable[rng.randint(len(containable))]
             target = objects[j]["instance"]
             x1, y1 = objects[j]["start"]
         else:
@@ -248,11 +252,22 @@ def sample_scene(rng: np.random.RandomState, n_objects: int = 4) -> dict:
                 "pos": np.tile([x0, y0, 0.0], (T_STORE, 1)),
                 "phase": np.zeros(T_STORE, np.int32),
             }
+        tracks[o["instance"]].setdefault(
+            "vis", np.ones(T_STORE, np.int32))
         x0, y0 = o["start"]
         x1, y1 = o.get("end", o["start"])
         o["locations"] = {"0": [float(x0), float(y0), 0.0],
                           "1": [float(x1), float(y1), 0.0]}
         o.pop("start"), o.pop("end", None)
+
+    # a contained object is underneath the landed cone: invisible once the
+    # cone has (almost) touched down on it
+    for name, items in movements.items():
+        if items and items[0][0] == "_contain":
+            action, target, start, end = items[0]
+            t = np.arange(T_STORE)
+            u = np.clip((t - start) / max(end - start, 1), 0.0, 1.0)
+            tracks[target]["vis"] = (u < 0.95).astype(np.int32)
 
     # painter's order: statics first, then movers, cones last so a landed
     # cone occludes its contained target (reference semantics: the object
@@ -310,6 +325,14 @@ class SpriteBank:
             )
         return self.index[key]
 
+    def blank(self) -> int:
+        """Fully transparent sprite (an invisible — contained — object)."""
+        key = ("blank",)
+        if key not in self.index:
+            self.index[key] = len(self.sprites)
+            self.sprites.append(np.zeros((SPRITE, SPRITE, 4), np.uint8))
+        return self.index[key]
+
     def array(self) -> np.ndarray:
         return np.stack(self.sprites) if self.sprites else np.zeros(
             (0, SPRITE, SPRITE, 4), np.uint8
@@ -327,9 +350,13 @@ def scene_tables(scene: dict, bank: SpriteBank):
     for s, name in enumerate(scene["order"]):
         o = by_name[name]
         tr = scene["tracks"][name]
+        vis = tr.get("vis", np.ones(T_STORE, np.int32))
         for t in range(T_STORE):
-            sid[t, s] = bank.get(o["shape"], o["size"], o["color"],
-                                 o["material"], int(tr["phase"][t]))
+            sid[t, s] = (
+                bank.get(o["shape"], o["size"], o["color"], o["material"],
+                         int(tr["phase"][t]))
+                if vis[t] else bank.blank()
+            )
             top[t, s], left[t, s] = world_to_topleft(*tr["pos"][t])
     return sid, top, left
 
@@ -364,7 +391,8 @@ def build_compact_cater(num_train: int, num_val: int, seed: int = 0,
                         dataset: str = "CATER-GEN-v2",
                         context_length: int = 38) -> dict:
     """Device-resident form (same strategy as build_compact_*_mnist):
-    -> {"bank" (K, 32, 32, 4) uint8, "background" (128, 128, 3) uint8,
+    -> {"bank" (K, 32, 32, 4) uint8, "bank_index" {(shape, size, color,
+        material, phase): id}, "background" (128, 128, 3) uint8,
         split: {"sid"/"top"/"left" (M, T_STORE, S) int32,
                 "text" (M, context_length) int32, "meta": [scene dicts]}}.
 
@@ -403,8 +431,8 @@ def build_compact_cater(num_train: int, num_val: int, seed: int = 0,
 
     train = build_split(num_train)
     val = build_split(num_val)
-    return {"bank": bank.array(), "background": floor_background(),
-            "train": train, "val": val}
+    return {"bank": bank.array(), "bank_index": dict(bank.index),
+            "background": floor_background(), "train": train, "val": val}
 
 
 # ---------------------------------------------------------------------------

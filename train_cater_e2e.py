@@ -1,0 +1,636 @@
+"""End-to-end CATER-GEN-v2-scale training on the synthetic stand-in.
+
+The real CATER-GEN-v2 videos are Blender renders unavailable offline
+(reference README.md:29-37); this drives the FLAGSHIP recipe — VQ-VAE f8
+at 128x128 (train_vqvae.py --dataset cater_gen) and the stage-2 MAGE of
+config/mage_caterv2.yaml (d=512, 6 axial layers, 16x16 latents, K=512,
+frames_length 10, speed conditioning, explicit two-clause attribute
+captions) — on procedurally rendered CATER scenes with the reference's
+action set (generators/cater_synthetic.py).
+
+Same resident-data strategy as train_mnist2_e2e.py (the tunneled chip
+moves ~0.5 MB/s host<->device): upload the sprite bank + integer per-frame
+placements + caption tokens (~15 MB), compose 128px frames on device,
+train stage 1 -> materialize per-frame latent ids -> train stage 2 ->
+evaluate AR generation PSNR plus tracking-based Action / Referring
+precision (the eval_precision.py metric pair, measured directly on the
+generated pixels by normalized-cross-correlation sprite tracking instead
+of an external SwinBERT captioner, reference README.md:9-16).
+
+Usage (real chip):
+    python train_cater_e2e.py --out runs/cater_e2e --bf16
+Smoke (CPU):
+    python train_cater_e2e.py --tiny --out /tmp/cater_smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mage_tpu.data import device_data as dd
+from mage_tpu.data.generators import cater_synthetic as cs
+from mage_tpu.models.vqvae import VectorQuantizedVAE
+from mage_tpu.training import vqvae_trainer as vt
+from mage_tpu.training.checkpoint import Checkpointer
+from mage_tpu.training.lr import epoch_lr
+from mage_tpu.training.mage_trainer import make_mage_tx
+from mage_tpu.evals.metrics import ssim as np_ssim
+from mage_tpu.utils.media import save_gif
+
+T_STORE = cs.T_STORE  # 24 stored frames per clip
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="runs/cater_e2e")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-train", type=int, default=3000)
+    p.add_argument("--num-val", type=int, default=600)
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--codebook", type=int, default=512)
+    p.add_argument("--stage1-epochs", type=int, default=80)
+    p.add_argument("--batch1", type=int, default=64)
+    p.add_argument("--lr1", type=float, default=1e-4)
+    p.add_argument("--beta1", type=float, default=2.0)
+    p.add_argument("--config", default="config/mage_caterv2.yaml")
+    p.add_argument("--stage2-epochs", type=int, default=40)
+    p.add_argument("--batch2", type=int, default=16)
+    p.add_argument("--lr2", type=float, default=5e-5)
+    p.add_argument("--frames-length", type=int, default=10)
+    p.add_argument("--chunk", type=int, default=50)
+    p.add_argument("--skip-stage1", action="store_true")
+    p.add_argument("--skip-stage2", action="store_true")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--eval-videos", type=int, default=48)
+    p.add_argument("--gifs", type=int, default=6)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args(argv)
+
+
+def log_metrics(out_dir, record):
+    record = dict(record, time=time.time())
+    with open(os.path.join(out_dir, "e2e_metrics.json"), "a") as fp:
+        fp.write(json.dumps(record) + "\n")
+    print("METRIC", json.dumps(record), flush=True)
+
+
+def mse_to_psnr(mse, data_range=2.0):
+    """Pixels are in [-1, 1] (the CATER transform chain's Normalize(.5,.5))."""
+    return float(10.0 * np.log10(data_range**2 / max(mse, 1e-12)))
+
+
+def frames_at(dev, split, idx, t):
+    """Compose (len(idx),) frames, video idx x stored-frame t, on device."""
+    d = dev[split]
+    return dd.compose_frames_cater(
+        dev["bank"], dev["background"],
+        d["sid"][idx, t], d["top"][idx, t], d["left"][idx, t],
+    )
+
+
+def clip_positions(speed, frames_length):
+    """Speed-conditioned stored-frame indices (interval 1 + 1.4*speed, so
+    count = round(24/interval) >= frames_length: no padding needed).
+    Same linspace-floor integer math as device_data.clip_indices."""
+    q = T_STORE / (1.0 + 1.4 * speed.astype(jnp.float32))
+    count = jnp.maximum(jnp.round(q).astype(jnp.int32), frames_length)
+    i = jnp.arange(frames_length, dtype=jnp.int32)
+    return (i * (T_STORE - 1)) // jnp.maximum(count - 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: VQ-VAE f8 at 128px (the flagship first stage)
+# ---------------------------------------------------------------------------
+
+
+def stage1(args, dev, out_dir):
+    model = VectorQuantizedVAE(
+        input_dim=3, down_ratio=8, dim=args.dim, K=args.codebook
+    )
+    tx = vt.make_tx(args.lr1)
+    state = vt.create_state(
+        model, jax.random.PRNGKey(args.seed), jnp.zeros((1, 128, 128, 3)), tx
+    )
+    print(f"stage-1 params: "
+          f"{sum(x.size for x in jax.tree_util.tree_leaves(state.params)):,}")
+    ckpt = Checkpointer(os.path.join(out_dir, "vqvae"))
+
+    n = int(dev["train"]["sid"].shape[0])
+    b = args.batch1
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(state, rng, lr):
+        def body(carry, _):
+            state, rng = carry
+            rng, k1, k2 = jax.random.split(rng, 3)
+            s = jax.random.randint(k1, (b,), 0, n)
+            f = jax.random.randint(k2, (b,), 0, T_STORE)
+            frames = frames_at(dev, "train", s, f)
+
+            def loss_fn(params):
+                return vt.loss_terms(model, params, state.batch_stats, frames,
+                                     args.beta1, True)
+
+            grads, (mutated, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            updates, new_opt = tx.update(grads, opt_state, state.params)
+            state = state.replace(
+                step=state.step + 1,
+                params=jax.tree_util.tree_map(
+                    lambda p, u: p + u, state.params, updates
+                ),
+                batch_stats=mutated["batch_stats"],
+                opt_state=new_opt,
+            )
+            return (state, rng), aux["total"]
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), None,
+                                          length=args.chunk)
+        return state, jnp.mean(losses)
+
+    n_val = int(dev["val"]["sid"].shape[0])
+    eval_b = min(128, n_val)
+
+    @jax.jit
+    def eval_recon(state, frame_idx):
+        s = jnp.arange(eval_b)
+        frames = frames_at(dev, "val", s,
+                           jnp.broadcast_to(frame_idx, (eval_b,)))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        ids = model.apply(variables, frames, method="encode", mutable=False)
+        recon = model.apply(variables, ids, method="decode", mutable=False)
+        used = jnp.unique(ids, size=args.codebook, fill_value=-1)
+        return jnp.mean((recon - frames) ** 2), jnp.sum(used >= 0), frames, recon
+
+    steps_per_epoch = max(n // b, 1)
+    chunks = max(round(steps_per_epoch / args.chunk), 1)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    best = float("inf")
+    t0 = time.time()
+    for epoch in range(args.stage1_epochs):
+        for _ in range(chunks):
+            rng, sub = jax.random.split(rng)
+            state, loss = train_chunk(state, sub, args.lr1)
+        if epoch % 10 == 0 or epoch == args.stage1_epochs - 1:
+            loss = float(jax.device_get(loss))
+            mse, used, frames, recon = eval_recon(state, jnp.int32(0))
+            mse, used = float(jax.device_get(mse)), int(jax.device_get(used))
+            log_metrics(out_dir, {
+                "phase": "stage1", "epoch": epoch, "train_loss": loss,
+                "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
+                "codebook_used": used,
+                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+            })
+            if mse < best:
+                best = mse
+                ckpt.save("best", jax.device_get(state))
+    ckpt.save("final", jax.device_get(state))
+
+    mse, used, frames, recon = eval_recon(state, jnp.int32(0))
+    f_np = np.asarray(jax.device_get(frames[:32]))
+    r_np = np.asarray(jax.device_get(recon[:32]))
+    ssim_val = float(np.mean([
+        np_ssim(a, b, data_range=2.0)
+        for fa, fb in zip(f_np, r_np)
+        for a, b in zip(np.moveaxis(fa, -1, 0), np.moveaxis(fb, -1, 0))
+    ]))
+    final_mse = float(jax.device_get(mse))
+    log_metrics(out_dir, {
+        "phase": "stage1_final", "val_recon_mse": final_mse,
+        "val_recon_psnr": mse_to_psnr(final_mse), "val_ssim": ssim_val,
+        "codebook_used": int(jax.device_get(used)),
+    })
+    return model, state
+
+
+def materialize_latents(args, model, state, dev, split):
+    """Encode all stored frames of every clip -> ids (N, T_STORE, 16, 16)."""
+    d = dev[split]
+    n = int(d["sid"].shape[0])
+    chunk = 25
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def encode_chunk(idx):
+        c = idx.shape[0]
+        flat_idx = jnp.repeat(idx, T_STORE)
+        t = jnp.tile(jnp.arange(T_STORE), c)
+        frames = frames_at(dev, split, flat_idx, t)
+        ids = model.apply(variables, frames, method="encode", mutable=False)
+        return ids.reshape(c, T_STORE, *ids.shape[1:]).astype(jnp.int32)
+
+    outs = []
+    for i in range(0, n, chunk):
+        idx = jnp.arange(i, min(i + chunk, n))
+        if idx.shape[0] < chunk:  # static shapes: pad final chunk
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((chunk - idx.shape[0],), idx.dtype)]
+            )
+            outs.append(encode_chunk(idx)[: n - i])
+        else:
+            outs.append(encode_chunk(idx))
+    return jnp.concatenate(outs)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: flagship MAGE (config/mage_caterv2.yaml, explicit captions)
+# ---------------------------------------------------------------------------
+
+
+def build_pipeline(args, fs_variables):
+    from mage_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    cfg.model.params.first_stage_config.params.pop("ckpt_path", None)
+    cfg.model.params.first_stage_config.params.dim = args.dim
+    cfg.model.params.first_stage_config.params.K = args.codebook
+    cfg.model.params.codebook_size = args.codebook
+    cfg.model.params.randomness = False  # explicit captions (caterv2 yaml
+    cfg.model.params.beta = 0.0          # pairs randomness with ambiguous)
+    cfg.model.params.frames_length = args.frames_length
+    cfg.model.params.generate_decoder_config.params.frames_length = args.frames_length
+    cfg.model.params.generate_decoder_config.params.out_channels = args.codebook
+    if args.tiny:
+        cfg.model.params.vision_width = 64
+        cfg.model.params.text_encoder_config.params.transformer_width = 64
+        cfg.model.params.text_encoder_config.params.output_dim = 64
+        cfg.model.params.text_encoder_config.params.transformer_layers = 1
+        cfg.model.params.ma_config.params.d_model = 64
+        for k, v in dict(in_channels=64, model_channels=64, layers=3).items():
+            cfg.model.params.generate_decoder_config.params[k] = v
+    from mage_tpu.models.pipeline import MagePipeline
+
+    return MagePipeline(first_stage_variables=fs_variables,
+                       **cfg.model.params.to_dict())
+
+
+def init_stage2_params(args, pipeline, latent_hw):
+    ctx = pipeline.core.text_context_length
+    init_fn = jax.jit(
+        lambda: pipeline.core.init(
+            {"params": jax.random.PRNGKey(args.seed),
+             "dropout": jax.random.PRNGKey(args.seed),
+             "latent": jax.random.PRNGKey(args.seed)},
+            jnp.zeros((1, args.frames_length, *latent_hw), jnp.int32),
+            jnp.zeros((1, ctx), jnp.int32),
+            jnp.zeros((1,), jnp.float32),
+            train=True,
+        )["params"]
+    )
+    return init_fn()
+
+
+def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
+    tx = make_mage_tx()
+    b = args.batch2
+    n = int(ids_train.shape[0])
+    text_train = dev["train"]["text"]
+    text_val = dev["val"]["text"]
+
+    params = init_stage2_params(args, pipeline, ids_train.shape[2:])
+    print(f"stage-2 params: "
+          f"{sum(x.size for x in jax.tree_util.tree_leaves(params)):,}")
+    opt_state = jax.jit(tx.init)(params)
+    step = jnp.zeros((), jnp.int32)
+    alpha, beta = pipeline.alpha, pipeline.beta
+
+    # resident latents/text ride as jit ARGUMENTS (remote AOT compile
+    # serializes closure constants with the program; see train_mnist2_e2e)
+    def batch_at(rng, ids, text):
+        k1, k2 = jax.random.split(rng)
+        idx = jax.random.randint(k1, (b,), 0, n)
+        speed = jax.random.uniform(k2, (b,))
+        pos = jax.vmap(lambda s: clip_positions(s, args.frames_length))(speed)
+        lat = ids[idx[:, None], pos]
+        return {"latents": lat, "text": text[idx], "speed": speed}
+
+    def loss_fn(params, batch, rng):
+        terms = pipeline.loss_terms(params, batch, rng, train=True)
+        final = (terms["prediction"] + beta * terms.get("kl_loss", 0.0)
+                 + alpha * terms["speed_l2"])
+        terms["final_loss"] = final
+        return final, terms
+
+    if args.bf16:
+        base_loss = loss_fn
+        from mage_tpu.training.mage_trainer import cast_floating
+
+        def loss_fn(params, batch, rng):  # noqa: F811
+            final, terms = base_loss(cast_floating(params, jnp.bfloat16),
+                                     batch, rng)
+            return final.astype(jnp.float32), jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.float32), terms
+            )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_chunk(params, opt_state, step, rng, lr, ids, text):
+        def body(carry, _):
+            params, opt_state, step, rng = carry
+            rng, kb, kl = jax.random.split(rng, 3)
+            batch = batch_at(kb, ids, text)
+            grads, terms = jax.grad(loss_fn, has_aux=True)(params, batch, kl)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return (params, opt_state, step + 1, rng), terms["final_loss"]
+
+        (params, opt_state, step, _), losses = jax.lax.scan(
+            body, (params, opt_state, step, rng), None, length=args.chunk
+        )
+        return params, opt_state, step, jnp.mean(losses)
+
+    n_val = int(ids_val.shape[0])
+    eval_b = min(64, n_val)
+
+    @jax.jit
+    def eval_chunk(params, rng, ids, text):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        idx = jax.random.randint(k1, (eval_b,), 0, n_val)
+        speed = jax.random.uniform(k2, (eval_b,))
+        pos = jax.vmap(lambda s: clip_positions(s, args.frames_length))(speed)
+        batch = {"latents": ids[idx[:, None], pos], "text": text[idx],
+                 "speed": speed}
+        terms = pipeline.loss_terms(params, batch, k3, train=False)
+        return (terms["prediction"] + beta * terms.get("kl_loss", 0.0)
+                + alpha * terms["speed_l2"]), terms["prediction"]
+
+    steps_per_epoch = max(n // b, 1)
+    chunks = max(round(steps_per_epoch / args.chunk), 1)
+    rng = jax.random.PRNGKey(args.seed + 2)
+    ckpt = Checkpointer(os.path.join(out_dir, "mage"))
+    best = float("inf")
+    t0 = time.time()
+    for epoch in range(args.stage2_epochs):
+        lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
+        for _ in range(chunks):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, step, loss = train_chunk(
+                params, opt_state, step, sub, lr, ids_train, text_train)
+        if epoch % 5 == 0 or epoch == args.stage2_epochs - 1:
+            loss = float(jax.device_get(loss))
+            val_loss, val_pred = map(float, jax.device_get(
+                eval_chunk(params, jax.random.PRNGKey(args.seed + 3),
+                           ids_val, text_val)
+            ))
+            log_metrics(out_dir, {
+                "phase": "stage2", "epoch": epoch, "lr": lr,
+                "train_loss": loss, "val_loss": val_loss,
+                "val_prediction": val_pred,
+                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+            })
+            if val_loss < best:
+                best = val_loss
+                ckpt.save("best", {"step": jax.device_get(step),
+                                   "params": jax.device_get(params)})
+    ckpt.save("final", {"step": jax.device_get(step),
+                        "params": jax.device_get(params)})
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: PSNR + tracking-based Action / Referring precision
+# ---------------------------------------------------------------------------
+
+
+def _ncc_near(frame: np.ndarray, tmpl: np.ndarray, mask: np.ndarray,
+              top: int, left: int, radius: int) -> float:
+    """Masked zero-mean normalized cross-correlation of the (32, 32, 3)
+    sprite template against every window of ``frame`` whose top-left lies
+    within ``radius`` of (top, left) -> best score. Localized: the metric
+    only ever queries near an expected position, so computing the full
+    (H-31, W-31) map would be ~20x wasted work."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    y0 = max(top - radius, 0)
+    x0 = max(left - radius, 0)
+    y1 = min(top + radius + 1, frame.shape[0] - 31)
+    x1 = min(left + radius + 1, frame.shape[1] - 31)
+    if y0 >= y1 or x0 >= x1:
+        return -1.0
+    crop = frame[y0 : y1 + 31, x0 : x1 + 31].astype(np.float64)
+
+    m = mask.astype(np.float64)
+    k = max(m.sum(), 1.0)
+    t0 = tmpl.astype(np.float64) * m[..., None]
+    tmean = t0.sum((0, 1)) / k  # per-channel masked template mean
+    t = t0 - tmean * m[..., None]
+    tn = np.sqrt((t**2).sum())
+    wins = sliding_window_view(crop, (32, 32), axis=(0, 1))  # (Y, X, 3, 32, 32)
+    mt = np.moveaxis(t, -1, 0)  # (3, 32, 32)
+    dot = np.einsum("yxchw,chw->yx", wins, mt, optimize=True)
+    s1 = np.einsum("yxchw,hw->yxc", wins, m, optimize=True)
+    s2 = np.einsum("yxchw,hw->yxc", wins**2, m, optimize=True)
+    var = np.maximum(s2 - s1**2 / k, 0.0).sum(-1)  # float error -> tiny neg
+    ncc = dot / np.maximum(np.sqrt(var) * tn, 1e-9)
+    # NCC alone misfires two ways: a near-flat window (departed object ->
+    # plain background) has var ~ 0 and the normalization explodes past 1,
+    # and any shaded sprite correlates with any other via the shared
+    # lambertian ramp. Gate on real contrast (masked per-pixel RMS >= 5
+    # gray levels) and on color identity (masked mean within 45/channel of
+    # the template's).
+    contrast_ok = np.sqrt(var / (3.0 * k)) >= 5.0
+    color_ok = np.abs(s1 / k - tmean).mean(-1) <= 45.0
+    smap = np.where(contrast_ok & color_ok, ncc, 0.0)
+    return float(smap.max())
+
+
+def precision_metrics(videos: np.ndarray, metas: list, bank_index: dict,
+                      bank_arr: np.ndarray, tau: float = 0.45,
+                      radius: int = 10) -> dict:
+    """Action / Referring precision of (G, L, 128, 128, 3) videos in
+    [-1, 1] against their scene metadata (eval_precision.py's metric pair,
+    measured by sprite tracking on the pixels).
+
+    Per mover: action signature on the LAST frame — destination presence
+    (slide/pick-place/contain), start-position departure, containment
+    occlusion of the target, rotation stay-in-place — scored by masked NCC
+    against the object's sprite (max over rotation phases)."""
+    acts, refs = [], []
+    for vid, meta in zip(videos, metas):
+        frame_last = (vid[-1] + 1.0) * 127.5
+        by_name = {o["instance"]: o for o in meta["objects"]}
+
+        def templates(o):
+            keys = [(o["shape"], o["size"], o["color"], o["material"], p)
+                    for p in range(cs.N_PHASES)]
+            idxs = [bank_index[k] for k in keys if k in bank_index]
+            return [bank_arr[i] for i in idxs]
+
+        def best_near(frame, o, pos, radius=radius):
+            top, left = cs.world_to_topleft(*pos)
+            best = -1.0
+            for spr in templates(o):
+                best = max(best, _ncc_near(
+                    frame, spr[..., :3].astype(np.float64), spr[..., 3] > 0,
+                    top, left, radius))
+            return best
+
+        for name, items in meta["movements"].items():
+            if not items:
+                continue
+            action, target, _s, _e = items[0]
+            o = by_name[name]
+            start = o["locations"]["0"][:2]
+            end = o["locations"]["1"][:2]
+            at_end = best_near(frame_last, o, (end[0], end[1], 0.0))
+            at_start = best_near(frame_last, o, (start[0], start[1], 0.0))
+            if action == "_rotate":
+                ok = at_start >= tau
+                acts.append(ok)
+            elif action == "_contain":
+                tgt = by_name[target]
+                tpos = tgt["locations"]["1"][:2]
+                tgt_visible = best_near(frame_last, tgt,
+                                        (tpos[0], tpos[1], 0.0))
+                acts.append(at_end >= tau and tgt_visible < tau)
+                refs.append(at_end >= tau)
+            else:  # _slide / _pick_place: moved to destination, left start
+                moved = at_end >= tau and (
+                    at_start < tau
+                    or np.hypot(end[0] - start[0], end[1] - start[1]) < 1.0
+                )
+                acts.append(moved)
+                refs.append(at_end >= tau)
+    return {
+        "action_precision": float(np.mean(acts)) if acts else 0.0,
+        "referring_precision": float(np.mean(refs)) if refs else 0.0,
+        "action_cases": len(acts),
+        "referring_cases": len(refs),
+    }
+
+
+def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
+    d = dev[split]
+    g = min(args.eval_videos, int(ids.shape[0]))
+    text = d["text"][:g]
+    # speed 1.0 -> the 10 sampled positions span stored frames 0..23, so
+    # both action windows (ending by frame 22) complete inside the clip
+    # and the final frame shows every object at its settled end state
+    speed = jnp.full((g,), 1.0, jnp.float32)
+    pos = jax.vmap(lambda s: clip_positions(s, args.frames_length))(speed)
+    fs_vars = pipeline.first_stage.variables
+
+    @jax.jit
+    def run(params):
+        lat0 = ids[:g, :1]
+        gen = pipeline.core.apply(
+            {"params": params}, lat0, text, speed, method="generate_cached",
+            rngs={"latent": jax.random.PRNGKey(7)},
+        )
+        video = pipeline.first_stage.decode(gen, variables=fs_vars)
+        idxg = jnp.arange(g)
+        gt = jax.vmap(
+            lambda i: frames_at(dev, split, jnp.broadcast_to(i, pos.shape[1:]),
+                                pos[i])
+        )(idxg)
+        recon_gt = pipeline.first_stage.decode(
+            ids[:g][idxg[:, None], pos], variables=fs_vars
+        )
+        mse_gen = jnp.mean((video - gt[:, 1:]) ** 2)
+        mse_recon = jnp.mean((recon_gt[:, 1:] - gt[:, 1:]) ** 2)
+        return video, gt, mse_gen, mse_recon
+
+    video, gt, mse_gen, mse_recon = run(params)
+    mse_gen = float(jax.device_get(mse_gen))
+    mse_recon = float(jax.device_get(mse_recon))
+
+    gen_np = np.asarray(jax.device_get(video), np.float64)
+    gt_np = np.asarray(jax.device_get(gt), np.float64)
+    metas = compact[split]["meta"][:g]
+    bank_index = compact["bank_index"]
+    bank_arr = compact["bank"]
+    pm = precision_metrics(gen_np, metas, bank_index, bank_arr)
+    pm_gt = precision_metrics(gt_np[:, 1:], metas, bank_index, bank_arr)
+    log_metrics(out_dir, {
+        "phase": f"generation_{split}", "samples": g,
+        "gen_psnr_vs_gt": mse_to_psnr(mse_gen),
+        "recon_psnr_vs_gt_upper_bound": mse_to_psnr(mse_recon),
+        **pm,
+        "gt_action_precision_ceiling": pm_gt["action_precision"],
+        "gt_referring_precision_ceiling": pm_gt["referring_precision"],
+    })
+    few = np.asarray(gen_np[: args.gifs], np.float32)
+    few_gt = np.asarray(gt_np[: args.gifs], np.float32)
+    os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
+    for i in range(few.shape[0]):
+        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2) / 2.0
+        save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
+    return mse_gen
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.tiny:
+        args.num_train, args.num_val = 48, 12
+        args.dim, args.codebook = 16, 32
+        args.stage1_epochs, args.stage2_epochs = 2, 2
+        args.batch1, args.batch2, args.chunk = 8, 4, 2
+        args.eval_videos, args.gifs = 4, 1
+    os.makedirs(args.out, exist_ok=True)
+    print(f"devices: {jax.devices()}")
+
+    compact = cs.build_compact_cater(args.num_train, args.num_val, args.seed)
+    norm = lambda u8: jnp.asarray(u8, jnp.float32) / 127.5 - 1.0  # noqa: E731
+    dev = {
+        "bank": jnp.concatenate(
+            [norm(compact["bank"][..., :3]),
+             jnp.asarray(compact["bank"][..., 3:], jnp.float32)], axis=-1
+        ),
+        "background": norm(compact["background"]),
+        "train": {k: jnp.asarray(v) for k, v in compact["train"].items()
+                  if k != "meta"},
+        "val": {k: jnp.asarray(v) for k, v in compact["val"].items()
+                if k != "meta"},
+    }
+    print(f"resident dataset: {compact['bank'].nbytes/1e6:.1f} MB bank "
+          f"({compact['bank'].shape[0]} sprites), "
+          f"{args.num_train} train / {args.num_val} val scenes")
+
+    model = VectorQuantizedVAE(input_dim=3, down_ratio=8, dim=args.dim,
+                               K=args.codebook)
+    if args.skip_stage1 or args.eval_only:
+        tx = vt.make_tx(args.lr1)
+        state = vt.create_state(model, jax.random.PRNGKey(args.seed),
+                                jnp.zeros((1, 128, 128, 3)), tx)
+        state = Checkpointer(os.path.join(args.out, "vqvae")).restore(
+            "best", state)
+        state = jax.device_put(state)
+    else:
+        model, state = stage1(args, dev, args.out)
+
+    fs_variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.skip_stage2 and not args.eval_only:
+        return
+    t0 = time.time()
+    ids_train = materialize_latents(args, model, state, dev, "train")
+    ids_val = materialize_latents(args, model, state, dev, "val")
+    ids_train.block_until_ready()
+    log_metrics(args.out, {"phase": "latents",
+                           "train_shape": list(ids_train.shape),
+                           "sec": time.time() - t0})
+
+    pipeline = build_pipeline(args, fs_variables)
+    if args.eval_only:
+        params = init_stage2_params(args, pipeline, ids_train.shape[2:])
+        restored = Checkpointer(os.path.join(args.out, "mage")).restore(
+            "best", {"step": jnp.zeros((), jnp.int32),
+                     "params": jax.device_get(params)})
+        params = jax.device_put(restored["params"])
+    else:
+        params = stage2(args, pipeline, dev, ids_train, ids_val, args.out)
+    eval_generation(args, pipeline, params, dev, compact, ids_val, "val",
+                    args.out)
+
+
+if __name__ == "__main__":
+    main()
