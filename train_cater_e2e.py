@@ -538,9 +538,9 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
         )
         mse_gen = jnp.mean((video - gt[:, 1:]) ** 2)
         mse_recon = jnp.mean((recon_gt[:, 1:] - gt[:, 1:]) ** 2)
-        return video, gt, mse_gen, mse_recon
+        return video, gt, recon_gt, mse_gen, mse_recon
 
-    video, gt, mse_gen, mse_recon = run(params)
+    video, gt, recon_gt, mse_gen, mse_recon = run(params)
     mse_gen = float(jax.device_get(mse_gen))
     mse_recon = float(jax.device_get(mse_recon))
 
@@ -559,6 +559,32 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
         "gt_action_precision_ceiling": pm_gt["action_precision"],
         "gt_referring_precision_ceiling": pm_gt["referring_precision"],
     })
+    # FVD: generated vs GT clip distributions through the in-repo I3D
+    # extractor (no Kinetics checkpoint ships in this offline image:
+    # documented RANDOM weights, fixed seed 42 — a random-projection
+    # Frechet distance; the recon row calibrates the first-stage floor)
+    from mage_tpu.evals.fvd import compute_fvd
+    from mage_tpu.evals.i3d import I3D, make_extractor
+
+    i3d = I3D(num_classes=400)
+    iv = jax.jit(
+        lambda: i3d.init(jax.random.PRNGKey(42),
+                         jnp.zeros((1, args.frames_length - 1, 128, 128, 3)),
+                         train=False)
+    )()
+    extractor = make_extractor(iv, batch_size=4)
+    recon_np = np.asarray(jax.device_get(recon_gt), np.float64)[:, 1:]
+    clip = lambda v: np.clip(v, -1.0, 1.0).astype(np.float32)  # noqa: E731
+    fvd_gen = compute_fvd(clip(gt_np[:, 1:]), clip(gen_np), extractor)
+    fvd_recon = compute_fvd(clip(gt_np[:, 1:]), clip(recon_np), extractor)
+    log_metrics(out_dir, {
+        "phase": f"fvd_{split}", "samples": g,
+        "fvd_gen_vs_gt": float(fvd_gen),
+        "fvd_recon_vs_gt": float(fvd_recon),
+        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42",
+        "feature_dim": 400,
+    })
+
     few = np.asarray(gen_np[: args.gifs], np.float32)
     few_gt = np.asarray(gt_np[: args.gifs], np.float32)
     os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
