@@ -130,3 +130,26 @@ def test_disk_chain_anno_dataset_roundtrip(tmp_path):
     # decoded caption survives the vocabulary round trip
     text = ds.decode([t for t in item["text"] if t > 2])
     assert "is" in text and "." in text
+
+
+def test_vqvae_store_builder(tmp_path):
+    """cater_vqvae_store flattens the anno'd videos into the per-image
+    stage-1 store CATER4VQVAE reads (the prep step the reference leaves
+    external, dataload.py:384-400 note at :391)."""
+    cv2 = pytest.importorskip("cv2")  # noqa: F841
+    from mage_tpu.data.datasets import CATER4VQVAE
+    from mage_tpu.data.generators.cater_text_anno import main as anno_main
+    from mage_tpu.data.generators.cater_vqvae_store import build_store
+
+    root = tmp_path / "CATER-SYN"
+    cs.write_dataset(str(root), num_videos=5, seed=1)
+    anno_main(["--data-dir", str(root), "--mode", "explicit",
+               "--dataset", "CATER-GEN-v2", "--max-videos", "5"])
+    n = build_store(str(root), "train", "explicit", stride=8)
+    assert n >= 3 * (cs.T_STORE // 8)  # >= 3 train videos, 3 frames each
+
+    ds = CATER4VQVAE(str(root) + "/", "train")
+    assert len(ds) == n
+    img = ds[0]
+    assert img.shape == (128, 128, 3)
+    assert img.min() >= -0.5 and img.max() <= 0.5
