@@ -183,7 +183,8 @@ def _free_cell(rng, taken: list, min_d: float = 1.7) -> tuple:
     return x, y
 
 
-def sample_scene(rng: np.random.RandomState, n_objects: int = 4) -> dict:
+def sample_scene(rng: np.random.RandomState, n_objects: int = 4,
+                 force_shapes: list | None = None) -> dict:
     """One scene -> {"objects", "movements", "tracks"}.
 
     ``objects``/``movements`` follow the scenes/*.json schema exactly;
@@ -192,10 +193,15 @@ def sample_scene(rng: np.random.RandomState, n_objects: int = 4) -> dict:
     int}}. Two movers perform one action each (the annotation generator
     reads item[0] only, gen_cater_text_anno.py:105); remaining objects are
     static distractors. ``_contain`` requires a cone and targets a
-    non-mover."""
-    shapes = ["cone"] + (["spl"] if rng.randint(2) else [])
-    while len(shapes) < n_objects:
-        shapes.append(SHAPES[2 + rng.randint(3)])  # sphere/cylinder/cube
+    non-mover. ``force_shapes`` pins the shape list (CATER-GEN-v1 scenes
+    are exactly {cone, snitch} so shape-only referents are unambiguous)."""
+    if force_shapes is not None:
+        n_objects = len(force_shapes)
+        shapes = list(force_shapes)
+    else:
+        shapes = ["cone"] + (["spl"] if rng.randint(2) else [])
+        while len(shapes) < n_objects:
+            shapes.append(SHAPES[2 + rng.randint(3)])  # sphere/cylinder/cube
     rng.shuffle(shapes)
     objects = []
     taken = []
@@ -398,21 +404,27 @@ def build_compact_cater(num_train: int, num_val: int, seed: int = 0,
 
     Captions come from cater_text_anno.caption_for_scene — the annotation
     generator's own grammar (explicit coordinates or ambiguous quadrants +
-    attribute subsets)."""
+    attribute subsets). ``dataset="CATER-GEN-v1"`` -> two-object
+    {cone, snitch} scenes with the 30-token shape-only vocabulary
+    (reference data convention; config/mage_caterv1.yaml vocab_size 30)."""
     import random as pyrandom
 
     from mage_tpu.data.generators.cater_text_anno import caption_for_scene
-    from mage_tpu.data.tokenizers import CATERV2_VOCAB, VocabTokenizer
+    from mage_tpu.data.tokenizers import (CATERV1_VOCAB, CATERV2_VOCAB,
+                                          VocabTokenizer)
 
+    v1 = dataset == "CATER-GEN-v1"
     rng = np.random.RandomState(seed)
     cap_rng = pyrandom.Random(seed)
-    tok = VocabTokenizer(CATERV2_VOCAB, split_mode="regex")
+    tok = VocabTokenizer(CATERV1_VOCAB if v1 else CATERV2_VOCAB,
+                         split_mode="regex")
     bank = SpriteBank()
 
     def build_split(num):
         sids, tops, lefts, texts, metas = [], [], [], [], []
         for _ in range(num):
-            scene = sample_scene(rng)
+            scene = sample_scene(
+                rng, force_shapes=["cone", "spl"] if v1 else None)
             sid, top, left = scene_tables(scene, bank)
             caption = caption_for_scene(scene, mode, dataset, cap_rng)
             sids.append(sid)
@@ -441,15 +453,17 @@ def build_compact_cater(num_train: int, num_val: int, seed: int = 0,
 
 
 def write_dataset(data_dir: str, num_videos: int, seed: int = 0,
-                  fps: int = 8) -> None:
+                  fps: int = 8, dataset: str = "CATER-GEN-v2") -> None:
     import cv2
 
     os.makedirs(osp.join(data_dir, "scenes"), exist_ok=True)
     os.makedirs(osp.join(data_dir, "videos"), exist_ok=True)
     rng = np.random.RandomState(seed)
     bank = SpriteBank()
+    v1 = dataset == "CATER-GEN-v1"
     for i in range(num_videos):
-        scene = sample_scene(rng)
+        scene = sample_scene(rng,
+                             force_shapes=["cone", "spl"] if v1 else None)
         video = render_video(scene, bank)
         name = f"CATER_new_{i:06d}"
         meta = {"objects": [{k: v for k, v in o.items()}
@@ -473,8 +487,11 @@ def main(argv=None):
     p.add_argument("--data-dir", required=True)
     p.add_argument("--num-videos", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dataset", default="CATER-GEN-v2",
+                   choices=["CATER-GEN-v1", "CATER-GEN-v2"])
     args = p.parse_args(argv)
-    write_dataset(args.data_dir, args.num_videos, args.seed)
+    write_dataset(args.data_dir, args.num_videos, args.seed,
+                  dataset=args.dataset)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,23 @@ def test_compact_captions_parse_and_tokenize():
         assert got == want
 
 
+def test_compact_caterv1_shapes_and_vocab():
+    """CATER-GEN-v1 scenes are exactly {cone, snitch} and every caption
+    token falls inside the 30-token shape-only vocabulary
+    (config/mage_caterv1.yaml vocab_size 30; reference data convention,
+    dataload.py CATER vocab split)."""
+    from mage_tpu.data.tokenizers import CATERV1_VOCAB, word_tokenize
+
+    compact = cs.build_compact_cater(8, 2, seed=5, dataset="CATER-GEN-v1",
+                                     context_length=32)
+    assert compact["train"]["text"].shape == (8, 32)
+    assert int(compact["train"]["text"].max()) < len(CATERV1_VOCAB)
+    for rec in compact["train"]["meta"]:
+        shapes = sorted(o["shape"] for o in rec["objects"])
+        assert shapes == ["cone", "spl"]
+        assert all(t in CATERV1_VOCAB for t in word_tokenize(rec["caption"]))
+
+
 def test_disk_chain_anno_dataset_roundtrip(tmp_path):
     cv2 = pytest.importorskip("cv2")  # noqa: F841
     from mage_tpu.data.datasets import CATER

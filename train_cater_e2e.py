@@ -51,6 +51,11 @@ T_STORE = cs.T_STORE  # 24 stored frames per clip
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="runs/cater_e2e")
+    p.add_argument("--dataset", default="caterv2",
+                   choices=["caterv1", "caterv2"],
+                   help="caterv1: two-object {cone, snitch} scenes, "
+                        "30-token shape-only vocabulary, "
+                        "config/mage_caterv1.yaml")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-train", type=int, default=3000)
     p.add_argument("--num-val", type=int, default=600)
@@ -60,7 +65,8 @@ def parse_args(argv=None):
     p.add_argument("--batch1", type=int, default=64)
     p.add_argument("--lr1", type=float, default=1e-4)
     p.add_argument("--beta1", type=float, default=2.0)
-    p.add_argument("--config", default="config/mage_caterv2.yaml")
+    p.add_argument("--config", default=None,
+                   help="stage-2 YAML (default: config/mage_{dataset}.yaml)")
     p.add_argument("--stage2-epochs", type=int, default=40)
     p.add_argument("--batch2", type=int, default=16)
     p.add_argument("--lr2", type=float, default=5e-5)
@@ -605,7 +611,14 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     print(f"devices: {jax.devices()}")
 
-    compact = cs.build_compact_cater(args.num_train, args.num_val, args.seed)
+    if args.config is None:
+        args.config = f"config/mage_{args.dataset}.yaml"
+    dataset = "CATER-GEN-v1" if args.dataset == "caterv1" else "CATER-GEN-v2"
+    # context lengths match the configs' static caption padding
+    # (mage_caterv1.yaml:26 / mage_caterv2.yaml context_length)
+    ctx = 32 if args.dataset == "caterv1" else 38
+    compact = cs.build_compact_cater(args.num_train, args.num_val, args.seed,
+                                     dataset=dataset, context_length=ctx)
     norm = lambda u8: jnp.asarray(u8, jnp.float32) / 127.5 - 1.0  # noqa: E731
     dev = {
         "bank": jnp.concatenate(
