@@ -452,7 +452,7 @@ def _ncc_near(frame: np.ndarray, tmpl: np.ndarray, mask: np.ndarray,
 
 def precision_metrics(videos: np.ndarray, metas: list, bank_index: dict,
                       bank_arr: np.ndarray, tau: float = 0.45,
-                      radius: int = 10) -> dict:
+                      radius: int = 10, quadrant_level: bool = False) -> dict:
     """Action / Referring precision of (G, L, 128, 128, 3) videos in
     [-1, 1] against their scene metadata (eval_precision.py's metric pair,
     measured by sprite tracking on the pixels).
@@ -460,7 +460,16 @@ def precision_metrics(videos: np.ndarray, metas: list, bank_index: dict,
     Per mover: action signature on the LAST frame — destination presence
     (slide/pick-place/contain), start-position departure, containment
     occlusion of the target, rotation stay-in-place — scored by masked NCC
-    against the object's sprite (max over rotation phases)."""
+    against the object's sprite (max over rotation phases).
+
+    ``quadrant_level=True`` scores slide/pick-place destinations at the
+    captioned QUADRANT (search the whole 46-px quadrant around its center)
+    instead of the metadata's exact endpoint — the correct target for
+    ambiguous-mode captions ("to the fourth quadrant"), where any endpoint
+    inside the quadrant satisfies the text (reference annotation grammar,
+    gen_cater_text_anno find_quadrant). Containment keeps the exact check:
+    its destination is the visible target object, determined regardless of
+    caption mode."""
     acts, refs = [], []
     for vid, meta in zip(videos, metas):
         frame_last = (vid[-1] + 1.0) * 127.5
@@ -501,6 +510,11 @@ def precision_metrics(videos: np.ndarray, metas: list, bank_index: dict,
                 acts.append(at_end >= tau and tgt_visible < tau)
                 refs.append(at_end >= tau)
             else:  # _slide / _pick_place: moved to destination, left start
+                if quadrant_level:
+                    qc = (1.5 if end[0] >= 0 else -1.5,
+                          1.5 if end[1] >= 0 else -1.5)
+                    at_end = best_near(frame_last, o, (qc[0], qc[1], 0.0),
+                                       radius=26)
                 moved = at_end >= tau and (
                     at_start < tau
                     or np.hypot(end[0] - start[0], end[1] - start[1]) < 1.0

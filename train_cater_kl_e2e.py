@@ -1,0 +1,649 @@
+"""End-to-end MAGE+ (continuous KL first stage) on synthetic CATER-GEN-v2.
+
+The last BASELINE.json recipe: "MAGE+ on CATER-GEN-v2 (stronger
+autoencoder + VAE controller, diverse sampling)". The real CATER-GEN-v2
+Blender renders are unavailable offline, so this drives the full
+config/mage+_caterv2.yaml chain — AutoencoderKL f8 at 128px (continuous
+16x16x4 latents), stage-2 MAGE+ with the stochastic randomness branch and
+same-step PID auto-beta (v_kl 100), AMBIGUOUS quadrant captions (the
+reference pairs randomness with ambiguous annotations, dataload.py:290-292:
+the destination inside the captioned quadrant is genuinely
+under-determined, so prior samples must supply it) — on the procedural
+CATER stand-in of generators/cater_synthetic.py.
+
+Evaluation: both samplers (naive reference-parity O(L^2) loop,
+mage_model.py:641-693, vs the causal-GN O(L) cached sampler),
+prior-sample diversity (K draws per prompt), quadrant-level Action /
+Referring precision by sprite tracking (any endpoint inside the captioned
+quadrant satisfies the text), and FVD.
+
+Usage (real chip):
+    python train_cater_kl_e2e.py --out runs/cater_kl_e2e
+Smoke (CPU):
+    python train_cater_kl_e2e.py --tiny --out /tmp/cater_kl_smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import train_cater_e2e as ce
+from mage_tpu.data.generators import cater_synthetic as cs
+from mage_tpu.models.autoencoder_kl import AutoencoderKL, DiagonalGaussian
+from mage_tpu.training.checkpoint import Checkpointer
+from mage_tpu.training.lr import epoch_lr
+from mage_tpu.training.mage_trainer import cast_floating, make_mage_tx
+from mage_tpu.training.pid import initial_pid_state, pid_update
+from mage_tpu.evals.metrics import ssim as np_ssim
+from mage_tpu.utils.media import save_gif
+
+T_STORE = cs.T_STORE
+log_metrics = ce.log_metrics
+mse_to_psnr = ce.mse_to_psnr  # pixels in [-1, 1] -> data_range 2
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="runs/cater_kl_e2e")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-train", type=int, default=3000)
+    p.add_argument("--num-val", type=int, default=600)
+    # stage A: KL autoencoder f8 at 128px (config/mage+_caterv2.yaml
+    # ddconfig; ch scaled down from the pretrained-ldm 128 for offline
+    # training time)
+    p.add_argument("--ae-ch", type=int, default=64)
+    p.add_argument("--ae-epochs", type=int, default=40)
+    p.add_argument("--ae-batch", type=int, default=32)
+    p.add_argument("--ae-lr", type=float, default=1e-4)
+    p.add_argument("--ae-kl-weight", type=float, default=1e-6)
+    p.add_argument("--ae-logvar-bias", type=float, default=0.0)
+    p.add_argument("--posterior-logvar-shift", type=float, default=-4.0,
+                   help="stage-2 post-hoc logvar shift on stored moments "
+                        "(short MSE-dominant AE trainings leave posterior "
+                        "var ~1, drowning stage-2 targets; the reference's "
+                        "pretrained-ldm regime has tight posteriors)")
+    # stage 2
+    p.add_argument("--config", default="config/mage+_caterv2.yaml")
+    p.add_argument("--stage2-epochs", type=int, default=40)
+    p.add_argument("--batch2", type=int, default=16)
+    p.add_argument("--lr2", type=float, default=5e-5)
+    p.add_argument("--v-kl", type=float, default=None,
+                   help="override the config's PID KL target (yaml: 100)")
+    p.add_argument("--frames-length", type=int, default=10)
+    p.add_argument("--chunk", type=int, default=50)
+    p.add_argument("--skip-ae", action="store_true")
+    p.add_argument("--skip-stage2", action="store_true")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--eval-ckpt", default="final")
+    p.add_argument("--eval-videos", type=int, default=48)
+    p.add_argument("--diversity-samples", type=int, default=8)
+    p.add_argument("--gifs", type=int, default=6)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args(argv)
+
+
+# ---------------------------------------------------------------------------
+# Stage A: KL autoencoder f8 at 128px
+# ---------------------------------------------------------------------------
+
+
+def make_ae(args):
+    return AutoencoderKL(
+        embed_dim=4, ch=args.ae_ch, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
+        in_channels=3, out_ch=3, z_channels=4, double_z=True, resolution=128,
+        logvar_bias=args.ae_logvar_bias,
+    )
+
+
+def stage_ae(args, dev, out_dir):
+    model = make_ae(args)
+    import optax
+
+    tx = optax.adam(args.ae_lr)
+    init_fn = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(args.seed)},
+        jnp.zeros((1, 128, 128, 3)), jax.random.PRNGKey(0))["params"])
+    params = init_fn()
+    print(f"KL-AE params: "
+          f"{sum(x.size for x in jax.tree_util.tree_leaves(params)):,}")
+    opt_state = jax.jit(tx.init)(params)
+    ckpt = Checkpointer(os.path.join(out_dir, "klae"))
+
+    n = int(dev["train"]["sid"].shape[0])
+    b = args.ae_batch
+    klw = args.ae_kl_weight
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_chunk(params, opt_state, rng):
+        def body(carry, _):
+            params, opt_state, rng = carry
+            rng, k1, k2, k3 = jax.random.split(rng, 4)
+            s = jax.random.randint(k1, (b,), 0, n)
+            f = jax.random.randint(k2, (b,), 0, T_STORE)
+            frames = ce.frames_at(dev, "train", s, f)
+
+            def loss_fn(p):
+                recon, post = model.apply({"params": p}, frames, k3,
+                                          train=True)
+                rec = jnp.mean((recon - frames) ** 2)
+                return rec + klw * jnp.mean(post.kl()), rec
+
+            grads, rec = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), rec
+
+        (params, opt_state, _), recs = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=args.chunk
+        )
+        return params, opt_state, jnp.mean(recs)
+
+    n_val = int(dev["val"]["sid"].shape[0])
+    eval_b = min(64, n_val)
+
+    @jax.jit
+    def eval_recon(params):
+        s = jnp.arange(eval_b)
+        frames = ce.frames_at(dev, "val", s, jnp.zeros((eval_b,), jnp.int32))
+        moments = model.apply({"params": params}, frames,
+                              method="encode_moments")
+        z = DiagonalGaussian(moments).mode()
+        recon = model.apply({"params": params}, z, method="decode")
+        return jnp.mean((recon - frames) ** 2), frames, recon
+
+    steps_per_epoch = max(n // b, 1)
+    chunks = max(round(steps_per_epoch / args.chunk), 1)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    best = float("inf")
+    t0 = time.time()
+    for epoch in range(args.ae_epochs):
+        for _ in range(chunks):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, rec = train_chunk(params, opt_state, sub)
+        if epoch % 5 == 0 or epoch == args.ae_epochs - 1:
+            rec = float(jax.device_get(rec))
+            mse, frames, recon = eval_recon(params)
+            mse = float(jax.device_get(mse))
+            log_metrics(out_dir, {
+                "phase": "klae", "epoch": epoch, "train_recon": rec,
+                "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
+                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+            })
+            if mse < best:
+                best = mse
+                ckpt.save("best", {"params": jax.device_get(params)})
+    ckpt.save("final", {"params": jax.device_get(params)})
+
+    mse, frames, recon = eval_recon(params)
+    f_np = np.asarray(jax.device_get(frames[:16]))
+    r_np = np.asarray(jax.device_get(recon[:16]))
+    ssim_val = float(np.mean([
+        np_ssim(a, c, data_range=2.0)
+        for fa, fb in zip(f_np, r_np)
+        for a, c in zip(np.moveaxis(fa, -1, 0), np.moveaxis(fb, -1, 0))
+    ]))
+    final_mse = float(jax.device_get(mse))
+    log_metrics(out_dir, {
+        "phase": "klae_final", "val_recon_mse": final_mse,
+        "val_recon_psnr": mse_to_psnr(final_mse), "val_ssim": ssim_val,
+    })
+    return model, params
+
+
+def materialize_moments(args, model, params, dev, split):
+    """Encode every stored frame -> posterior moments
+    (N, T_STORE, 16, 16, 8) bf16; sampling happens per train step
+    (the reference's stochastic get_first_stage_encoding,
+    mage_model.py:542-549, without re-running the encoder)."""
+    d = dev[split]
+    n = int(d["sid"].shape[0])
+    chunk = 10
+
+    @jax.jit
+    def encode_chunk(idx):
+        c = idx.shape[0]
+        flat_idx = jnp.repeat(idx, T_STORE)
+        t = jnp.tile(jnp.arange(T_STORE), c)
+        frames = ce.frames_at(dev, split, flat_idx, t)
+        moments = model.apply({"params": params}, frames,
+                              method="encode_moments")
+        return moments.reshape(c, T_STORE, *moments.shape[1:]).astype(
+            jnp.bfloat16
+        )
+
+    outs = []
+    for i in range(0, n, chunk):
+        idx = jnp.arange(i, min(i + chunk, n))
+        if idx.shape[0] < chunk:
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((chunk - idx.shape[0],), idx.dtype)]
+            )
+            outs.append(encode_chunk(idx)[: n - i])
+        else:
+            outs.append(encode_chunk(idx))
+    return jnp.concatenate(outs)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: continuous MAGE+ with same-step PID auto-beta
+# ---------------------------------------------------------------------------
+
+
+def build_pipeline(args, ae_model, ae_params):
+    from mage_tpu.config import load_config
+    from mage_tpu.models.pipeline import MagePipeline
+
+    cfg = load_config(args.config)
+    p = cfg.model.params
+    p.first_stage_config.params.pop("ckpt_path", None)
+    p.first_stage_config.params.ddconfig.ch = args.ae_ch
+    p.frames_length = args.frames_length
+    p.generate_decoder_config.params.frames_length = args.frames_length
+    if args.v_kl is not None:
+        p.v_kl = args.v_kl
+    if args.tiny:
+        p.vision_width = 64
+        p.text_encoder_config.params.transformer_width = 64
+        p.text_encoder_config.params.output_dim = 64
+        p.text_encoder_config.params.transformer_layers = 1
+        p.ma_config.params.d_model = 64
+        for k, v in dict(in_channels=64, model_channels=64, layers=3).items():
+            p.generate_decoder_config.params[k] = v
+    return MagePipeline(
+        first_stage_variables={"params": ae_params}, **p.to_dict()
+    )
+
+
+def sample_latents(moments, rng, logvar_shift=0.0):
+    """(..., 8) bf16 moments -> (..., 4) sampled bf16 latents."""
+    mom = moments.astype(jnp.float32)
+    if logvar_shift:
+        mean, logvar = jnp.split(mom, 2, axis=-1)
+        mom = jnp.concatenate([mean, logvar + logvar_shift], axis=-1)
+    return DiagonalGaussian(mom).sample(rng).astype(jnp.bfloat16)
+
+
+def init_stage2_params(args, pipeline):
+    ctx = pipeline.core.text_context_length
+    init_fn = jax.jit(
+        lambda: pipeline.core.init(
+            {"params": jax.random.PRNGKey(args.seed),
+             "dropout": jax.random.PRNGKey(args.seed),
+             "latent": jax.random.PRNGKey(args.seed)},
+            jnp.zeros((1, args.frames_length, 16, 16, 4), jnp.float32),
+            jnp.zeros((1, ctx), jnp.int32),
+            jnp.zeros((1,), jnp.float32),
+            train=True,
+        )["params"]
+    )
+    return init_fn()
+
+
+def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
+    tx = make_mage_tx()
+    b = args.batch2
+    n = int(mom_train.shape[0])
+    text_train = dev["train"]["text"]
+    text_val = dev["val"]["text"]
+    v_kl = pipeline.v_kl
+    lv_shift = args.posterior_logvar_shift
+
+    params = init_stage2_params(args, pipeline)
+    print(f"stage-2 params: "
+          f"{sum(x.size for x in jax.tree_util.tree_leaves(params)):,}")
+    opt_state = jax.jit(tx.init)(params)
+    step = jnp.zeros((), jnp.int32)
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+
+    def batch_at(rng, mom, text):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        idx = jax.random.randint(k1, (b,), 0, n)
+        speed = jax.random.uniform(k2, (b,))
+        pos = jax.vmap(
+            lambda s: ce.clip_positions(s, args.frames_length))(speed)
+        lat = sample_latents(mom[idx[:, None], pos], k3, lv_shift)
+        return {"latents": lat, "text": text[idx], "speed": speed}
+
+    def loss_fn(params, batch, rng, pid_state):
+        if compute_dtype is not None:
+            params = cast_floating(params, compute_dtype)
+        terms = pipeline.loss_terms(params, batch, rng, train=True,
+                                    compute_dtype=compute_dtype)
+        beta, new_pid = pid_update(
+            pid_state, v_kl,
+            jax.lax.stop_gradient(terms["kl_loss"]).astype(jnp.float32),
+        )
+        final = (terms["prediction"].astype(jnp.float32)
+                 + jax.lax.stop_gradient(beta)
+                 * terms["kl_loss"].astype(jnp.float32))
+        terms = {k: v.astype(jnp.float32) for k, v in terms.items()}
+        terms.update(final_loss=final, beta=beta)
+        return final, (terms, new_pid)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_chunk(params, opt_state, step, pid_state, rng, lr, mom, text):
+        def body(carry, _):
+            params, opt_state, step, pid_state, rng = carry
+            rng, kb, kl = jax.random.split(rng, 3)
+            batch = batch_at(kb, mom, text)
+            grads, (terms, pid_state) = jax.grad(loss_fn, has_aux=True)(
+                params, batch, kl, pid_state
+            )
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                lr, jnp.float32)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, updates)
+            return ((params, opt_state, step + 1, pid_state, rng),
+                    (terms["final_loss"], terms["kl_loss"], terms["beta"]))
+
+        (params, opt_state, step, pid_state, _), (losses, kls, betas) = (
+            jax.lax.scan(body, (params, opt_state, step, pid_state, rng),
+                         None, length=args.chunk)
+        )
+        return (params, opt_state, step, pid_state,
+                jnp.mean(losses), jnp.mean(kls), betas[-1])
+
+    n_val = int(mom_val.shape[0])
+    eval_b = min(64, n_val)
+
+    @jax.jit
+    def eval_chunk(params, beta, rng, mom, text):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        idx = jax.random.randint(k1, (eval_b,), 0, n_val)
+        speed = jax.random.uniform(k2, (eval_b,))
+        pos = jax.vmap(
+            lambda s: ce.clip_positions(s, args.frames_length))(speed)
+        batch = {
+            "latents": sample_latents(mom[idx[:, None], pos], k4, lv_shift),
+            "text": text[idx], "speed": speed,
+        }
+        p = cast_floating(params, compute_dtype) if compute_dtype else params
+        terms = pipeline.loss_terms(p, batch, k3, train=False,
+                                    compute_dtype=compute_dtype)
+        return (terms["prediction"].astype(jnp.float32)
+                + beta * terms["kl_loss"].astype(jnp.float32),
+                terms["prediction"].astype(jnp.float32))
+
+    steps_per_epoch = max(n // b, 1)
+    chunks = max(round(steps_per_epoch / args.chunk), 1)
+    rng = jax.random.PRNGKey(args.seed + 2)
+    ckpt = Checkpointer(os.path.join(out_dir, "mage"))
+    pid_state = initial_pid_state()
+    best = float("inf")
+    t0 = time.time()
+    for epoch in range(args.stage2_epochs):
+        lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
+        for _ in range(chunks):
+            rng, sub = jax.random.split(rng)
+            (params, opt_state, step, pid_state, loss, klm, beta) = (
+                train_chunk(params, opt_state, step, pid_state, sub, lr,
+                            mom_train, text_train)
+            )
+        if epoch % 5 == 0 or epoch == args.stage2_epochs - 1:
+            loss, klm, beta = map(float, jax.device_get((loss, klm, beta)))
+            val_loss, val_pred = map(float, jax.device_get(
+                eval_chunk(params, beta, jax.random.PRNGKey(args.seed + 3),
+                           mom_val, text_val)
+            ))
+            log_metrics(out_dir, {
+                "phase": "stage2", "epoch": epoch, "lr": lr,
+                "train_loss": loss, "train_kl": klm, "beta": beta,
+                "val_loss": val_loss, "val_prediction": val_pred,
+                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+            })
+            if val_loss < best:
+                best = val_loss
+                ckpt.save("best", {"step": jax.device_get(step),
+                                   "params": jax.device_get(params)})
+    ckpt.save("final", {"step": jax.device_get(step),
+                        "params": jax.device_get(params)})
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: both samplers + diversity + quadrant-level precision + FVD
+# ---------------------------------------------------------------------------
+
+
+def eval_generation(args, pipeline, params, dev, compact, mom, split,
+                    out_dir):
+    d = dev[split]
+    g = min(args.eval_videos, int(mom.shape[0]))
+    K = args.diversity_samples
+    text = d["text"][:g]
+    # speed 1.0 -> sampled positions span all stored frames; final frame
+    # shows settled end states (see train_cater_e2e.eval_generation)
+    speed_f32 = jnp.full((g,), 1.0, jnp.float32)
+    pos = jax.vmap(
+        lambda s: ce.clip_positions(s, args.frames_length))(speed_f32)
+    fs_vars = pipeline.first_stage.variables
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+    speed = speed_f32.astype(compute_dtype) if compute_dtype else speed_f32
+    p_use = cast_floating(params, compute_dtype) if compute_dtype else params
+    lat0 = DiagonalGaussian(mom[:g, :1].astype(jnp.float32)).mode()
+    if compute_dtype:
+        lat0 = lat0.astype(compute_dtype)
+    idxg = jnp.arange(g)
+
+    @jax.jit
+    def run_both(p):
+        gt = jax.vmap(
+            lambda i: ce.frames_at(
+                dev, split, jnp.broadcast_to(i, pos.shape[1:]), pos[i])
+        )(idxg)
+        out = {}
+        for name, method in (("cached", "generate_cached"),
+                             ("naive", "generate")):
+            lat = pipeline.core.apply(
+                {"params": p}, lat0, text, speed, method=method,
+                rngs={"latent": jax.random.PRNGKey(7)},
+            )
+            vid = pipeline.first_stage.decode(lat, variables=fs_vars)
+            out[name] = (lat.astype(jnp.float32), vid.astype(jnp.float32))
+        lat_mse = jnp.mean((out["cached"][0] - out["naive"][0]) ** 2)
+        lat_scale = jnp.mean(out["naive"][0] ** 2)
+        mse_c = jnp.mean((out["cached"][1] - gt[:, 1:]) ** 2)
+        mse_n = jnp.mean((out["naive"][1] - gt[:, 1:]) ** 2)
+        recon_gt = pipeline.first_stage.decode(
+            DiagonalGaussian(
+                mom[:g][idxg[:, None], pos].astype(jnp.float32)).mode(),
+            variables=fs_vars,
+        )
+        mse_recon = jnp.mean((recon_gt[:, 1:] - gt[:, 1:]) ** 2)
+        return (out["cached"][1], out["naive"][1], gt, recon_gt,
+                lat_mse, lat_scale, mse_c, mse_n, mse_recon)
+
+    (vid_c, vid_n, gt, recon_gt, lat_mse, lat_scale, mse_c, mse_n,
+     mse_recon) = run_both(p_use)
+    lat_mse, lat_scale, mse_c, mse_n, mse_recon = map(
+        float, jax.device_get((lat_mse, lat_scale, mse_c, mse_n, mse_recon))
+    )
+    log_metrics(out_dir, {
+        "phase": f"samplers_{split}", "samples": g,
+        "cached_psnr_vs_gt": mse_to_psnr(mse_c),
+        "naive_psnr_vs_gt": mse_to_psnr(mse_n),
+        "psnr_gap_db": abs(mse_to_psnr(mse_c) - mse_to_psnr(mse_n)),
+        "cached_vs_naive_latent_mse": lat_mse,
+        "latent_scale_msq": lat_scale,
+        "recon_psnr_vs_gt_upper_bound": mse_to_psnr(mse_recon),
+    })
+
+    # prior-sample diversity: K draws per prompt; under ambiguous quadrant
+    # captions the endpoint inside the quadrant is prior-determined
+    @jax.jit
+    def run_k(p, key):
+        lat = pipeline.core.apply(
+            {"params": p}, lat0, text, speed, method="generate_cached",
+            rngs={"latent": key},
+        )
+        return pipeline.first_stage.decode(
+            lat, variables=fs_vars).astype(jnp.float32)
+
+    vids = np.stack([
+        np.asarray(jax.device_get(run_k(p_use, jax.random.PRNGKey(100 + k))))
+        for k in range(K)
+    ])  # (K, g, L-1, 128, 128, 3)
+    gt_np = np.asarray(jax.device_get(gt), np.float64)
+    mses = ((vids - gt_np[None, :, 1:]) ** 2).mean(axis=(2, 3, 4, 5))
+    psnrs = 10.0 * np.log10(4.0 / np.maximum(mses, 1e-12))
+    pair = 0.0
+    cnt = 0
+    for a in range(K):
+        for c in range(a + 1, K):
+            pair += ((vids[a] - vids[c]) ** 2).mean()
+            cnt += 1
+    metas = compact[split]["meta"][:g]
+    bank_index = compact["bank_index"]
+    bank_arr = compact["bank"]
+    # per-draw quadrant-level precision: every draw should satisfy the
+    # caption even when the endpoints differ draw to draw
+    pm_draws = [
+        ce.precision_metrics(vids[k].astype(np.float64), metas, bank_index,
+                             bank_arr, quadrant_level=True)
+        for k in range(min(K, 4))
+    ]
+    log_metrics(out_dir, {
+        "phase": f"diversity_{split}", "samples": g, "draws": K,
+        "best_of_k_psnr": float(psnrs.max(axis=0).mean()),
+        "worst_of_k_psnr": float(psnrs.min(axis=0).mean()),
+        "mean_psnr": float(psnrs.mean()),
+        "pairwise_mse": float(pair / max(cnt, 1)),
+        "gt_motion_mse_scale": float(
+            ((gt_np[:, 1:] - gt_np[:, :-1]) ** 2).mean()
+        ),
+        "per_draw_action_precision": [
+            pm["action_precision"] for pm in pm_draws],
+        "per_draw_referring_precision": [
+            pm["referring_precision"] for pm in pm_draws],
+    })
+
+    gen_np = np.asarray(jax.device_get(vid_c), np.float64)
+    pm = ce.precision_metrics(gen_np, metas, bank_index, bank_arr,
+                              quadrant_level=True)
+    pm_gt = ce.precision_metrics(gt_np[:, 1:], metas, bank_index, bank_arr,
+                                 quadrant_level=True)
+    log_metrics(out_dir, {
+        "phase": f"generation_{split}", "samples": g,
+        "gen_psnr_vs_gt": mse_to_psnr(mse_c),
+        "recon_psnr_vs_gt_upper_bound": mse_to_psnr(mse_recon),
+        **pm,
+        "gt_action_precision_ceiling": pm_gt["action_precision"],
+        "gt_referring_precision_ceiling": pm_gt["referring_precision"],
+    })
+
+    # FVD (in-repo I3D extractor; documented random weights, seed 42)
+    from mage_tpu.evals.fvd import compute_fvd
+    from mage_tpu.evals.i3d import I3D, make_extractor
+
+    i3d = I3D(num_classes=400)
+    iv = jax.jit(
+        lambda: i3d.init(jax.random.PRNGKey(42),
+                         jnp.zeros((1, args.frames_length - 1, 128, 128, 3)),
+                         train=False)
+    )()
+    extractor = make_extractor(iv, batch_size=4)
+    recon_np = np.asarray(jax.device_get(recon_gt), np.float64)[:, 1:]
+    clip = lambda v: np.clip(v, -1.0, 1.0).astype(np.float32)  # noqa: E731
+    fvd_gen = compute_fvd(clip(gt_np[:, 1:]), clip(gen_np), extractor)
+    fvd_recon = compute_fvd(clip(gt_np[:, 1:]), clip(recon_np), extractor)
+    log_metrics(out_dir, {
+        "phase": f"fvd_{split}", "samples": g,
+        "fvd_gen_vs_gt": float(fvd_gen),
+        "fvd_recon_vs_gt": float(fvd_recon),
+        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42",
+        "feature_dim": 400,
+    })
+
+    few = gen_np[: args.gifs].astype(np.float32)
+    few_gt = gt_np[: args.gifs].astype(np.float32)
+    os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
+    for i in range(few.shape[0]):
+        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2) / 2.0
+        save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
+    strip = np.concatenate(
+        [vids[k, 0] for k in range(min(K, 4))], axis=2) / 2.0
+    save_gif(strip, os.path.join(out_dir, "gifs", f"{split}_diversity.gif"))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.tiny:
+        args.num_train, args.num_val = 48, 12
+        args.ae_ch = 32  # GroupNorm(32) needs ch multiples of 32
+        args.ae_epochs, args.stage2_epochs = 2, 2
+        args.ae_batch, args.batch2, args.chunk = 8, 4, 2
+        args.eval_videos, args.gifs = 4, 1
+        args.diversity_samples = 2
+    os.makedirs(args.out, exist_ok=True)
+    print(f"devices: {jax.devices()}")
+
+    # ambiguous quadrant captions: the reference pairs randomness with the
+    # ambiguous annotation file (dataload.py:290-292)
+    compact = cs.build_compact_cater(args.num_train, args.num_val, args.seed,
+                                     mode="ambiguous",
+                                     dataset="CATER-GEN-v2",
+                                     context_length=38)
+    norm = lambda u8: jnp.asarray(u8, jnp.float32) / 127.5 - 1.0  # noqa: E731
+    dev = {
+        "bank": jnp.concatenate(
+            [norm(compact["bank"][..., :3]),
+             jnp.asarray(compact["bank"][..., 3:], jnp.float32)], axis=-1
+        ),
+        "background": norm(compact["background"]),
+        "train": {k: jnp.asarray(v) for k, v in compact["train"].items()
+                  if k != "meta"},
+        "val": {k: jnp.asarray(v) for k, v in compact["val"].items()
+                if k != "meta"},
+    }
+    print(f"resident dataset: {compact['bank'].nbytes/1e6:.1f} MB bank, "
+          f"{args.num_train} train / {args.num_val} val scenes, ambiguous")
+
+    if args.skip_ae or args.eval_only:
+        model = make_ae(args)
+        tmpl = jax.jit(lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 128, 128, 3)), jax.random.PRNGKey(0))["params"])()
+        restored = Checkpointer(os.path.join(args.out, "klae")).restore(
+            "best", {"params": jax.device_get(tmpl)}
+        )
+        ae_params = jax.device_put(restored["params"])
+    else:
+        model, ae_params = stage_ae(args, dev, args.out)
+
+    if args.skip_stage2 and not args.eval_only:
+        return
+    t0 = time.time()
+    mom_train = materialize_moments(args, model, ae_params, dev, "train")
+    mom_val = materialize_moments(args, model, ae_params, dev, "val")
+    mom_train.block_until_ready()
+    log_metrics(args.out, {"phase": "moments",
+                           "train_shape": list(mom_train.shape),
+                           "sec": time.time() - t0})
+
+    pipeline = build_pipeline(args, model, ae_params)
+    if args.eval_only:
+        template = {"step": jnp.zeros((), jnp.int32),
+                    "params": jax.device_get(init_stage2_params(args,
+                                                                pipeline))}
+        restored = Checkpointer(os.path.join(args.out, "mage")).restore(
+            args.eval_ckpt, template
+        )
+        params = jax.device_put(restored["params"])
+    else:
+        params = stage2(args, pipeline, dev, mom_train, mom_val, args.out)
+    eval_generation(args, pipeline, params, dev, compact, mom_val, "val",
+                    args.out)
+
+
+if __name__ == "__main__":
+    main()
