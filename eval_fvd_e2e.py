@@ -89,8 +89,11 @@ def main(argv=None):
         jnp.zeros((1, targs.frames_length, *ids_val.shape[2:]), jnp.int32),
         jnp.zeros((1, ctx), jnp.int32), jnp.zeros((1,), jnp.float32),
     )
-    restored = Checkpointer(os.path.join(args.run, "mage")).restore(
-        "best", {"step": jnp.zeros((), jnp.int32), "params": jax.device_get(params)}
+    mage_dir = os.path.join(args.run, "mage")
+    # older runs saved only "final" (best-checkpointing landed later)
+    name = "best" if os.path.isdir(os.path.join(mage_dir, "best")) else "final"
+    restored = Checkpointer(mage_dir).restore(
+        name, {"step": jnp.zeros((), jnp.int32), "params": jax.device_get(params)}
     )
     params = jax.device_put(restored["params"])
 

@@ -185,7 +185,11 @@ class AxialAttentionBlock(nn.Module):
 
         drop = lambda y: self.resid_dropout(y, deterministic=not train)
         impl = _spatial_impl(seq.dtype)
-        if attn_bias is None and not train and impl.startswith("fusedblock"):
+        if (attn_bias is None and not train and impl.startswith("fusedblock")
+                and not self.is_initializing()):
+            # (during init, fall through so the submodules create their
+            # params — _fused_block_params reads .variables["params"],
+            # which doesn't exist yet under Module.init)
             # whole-block Pallas kernel: LN1 -> QKV -> attention -> proj ->
             # LN2 -> MLP, fully VMEM-resident (ops/axial_attention.py);
             # eval-mode only (dropout inactive), unmasked axes only

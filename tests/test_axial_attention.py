@@ -90,3 +90,16 @@ def test_fused_block_matches_xla_block(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+    # regression: Module.init UNDER the fusedblock env var must work —
+    # _fused_block_params reads .variables["params"], which doesn't exist
+    # during init (the is_initializing() guard falls through to the
+    # param-creating path; this KeyError'd the whole bench under
+    # MAGE_SPATIAL_ATTN=fusedblock)
+    params2 = blk.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(params2) == \
+        jax.tree_util.tree_structure(params)
+    fused2 = blk.apply(params2, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(fused2), np.asarray(fused), rtol=1e-6, atol=1e-6
+    )

@@ -65,6 +65,10 @@ def parse_args(argv=None):
     p.add_argument("--chunk", type=int, default=50)
     p.add_argument("--skip-stage1", action="store_true")
     p.add_argument("--skip-stage2", action="store_true")
+    p.add_argument("--eval-only", action="store_true",
+                   help="restore <out>/{vqvae,mage}/<--eval-ckpt> and run "
+                        "the generation evals only")
+    p.add_argument("--eval-ckpt", default="final")
     p.add_argument("--eval-videos", type=int, default=64)
     p.add_argument("--gifs", type=int, default=6)
     p.add_argument("--bf16", action="store_true")
@@ -471,9 +475,14 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
     )(speed, d["length"][:g])
     fs_vars = pipeline.first_stage.variables
 
+    # the full train-split ids array (24000 clips, ~0.5 GB) is too big to
+    # ride as a closure constant through the remote AOT compile (HTTP 413);
+    # slice to the evaluated g on device and pass as a jit ARGUMENT
+    ids_g = ids[:g]
+
     @jax.jit
-    def run(params):
-        lat0 = ids[:g, :1]
+    def run(params, ids_g):
+        lat0 = ids_g[:, :1]
         gen = pipeline.core.apply(
             {"params": params}, lat0, text, speed, method="generate_cached",
             rngs={"latent": jax.random.PRNGKey(7)},
@@ -481,28 +490,68 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
         video = pipeline.first_stage.decode(gen, variables=fs_vars)
         gt = jax.vmap(lambda i: clip_pixels(dev, split, i, pos[i]))(jnp.arange(g))
         recon_gt = pipeline.first_stage.decode(
-            ids[:g][jnp.arange(g)[:, None], pos], variables=fs_vars
+            ids_g[jnp.arange(g)[:, None], pos], variables=fs_vars
         )
         mse_gen = jnp.mean((video - gt[:, 1:]) ** 2)
         mse_recon = jnp.mean((recon_gt[:, 1:] - gt[:, 1:]) ** 2)
-        return video, gt, mse_gen, mse_recon
+        return video, gt, recon_gt, mse_gen, mse_recon
 
-    video, gt, mse_gen, mse_recon = run(params)
+    video, gt, recon_gt, mse_gen, mse_recon = run(params, ids_g)
     mse_gen = float(jax.device_get(mse_gen))
     mse_recon = float(jax.device_get(mse_recon))
 
     gen_np = np.asarray(jax.device_get(video))[..., 0]
+    recon_np = np.asarray(jax.device_get(recon_gt))[:, 1:, ..., 0]
     dev_host = {k: np.asarray(jax.device_get(v))
                 for k, v in d.items() if k != "text"}
     bank_np = np.asarray(jax.device_get(dev["bank"]))
-    mm = motion_metrics(gen_np, dev_host, bank_np, np.arange(g),
-                        np.asarray(jax.device_get(pos)))
+    pos_np = np.asarray(jax.device_get(pos))
+    mm = motion_metrics(gen_np, dev_host, bank_np, np.arange(g), pos_np)
+    # tracking ceiling: the same metric on first-stage RECONSTRUCTIONS of
+    # the GT latents — separates "generator doesn't follow the caption"
+    # from "tracker can't follow decoded pixels"
+    mm_ceil = motion_metrics(recon_np, dev_host, bank_np, np.arange(g),
+                             pos_np)
     log_metrics(out_dir, {
         "phase": f"generation_{split}", "samples": g,
         "gen_psnr_vs_gt": mse_to_psnr(mse_gen),
         "recon_psnr_vs_gt_upper_bound": mse_to_psnr(mse_recon),
         **mm,
+        "recon_motion_correct_ceiling": mm_ceil["motion_correct_frac"],
+        "recon_track_error_px_ceiling": mm_ceil["mean_track_error_px"],
+        "recon_direction_acc_ceiling": mm_ceil["initial_direction_acc"],
     })
+    # FVD: generated vs GT clip distributions (in-repo I3D extractor;
+    # documented random weights, seed 42 — see evals/fvd.py)
+    from mage_tpu.evals.fvd import compute_fvd
+    from mage_tpu.evals.i3d import I3D, make_extractor
+
+    i3d = I3D(num_classes=400)
+    iv = jax.jit(
+        lambda: i3d.init(jax.random.PRNGKey(42),
+                         jnp.zeros((1, args.frames_length - 1, 64, 64, 3)),
+                         train=False)
+    )()
+    extractor = make_extractor(iv, batch_size=8)
+
+    def to_rgb(v):  # [-0.5, 0.5] grayscale -> [-1, 1] rgb
+        return np.repeat(2.0 * np.clip(v + 0.5, 0, 1) - 1.0, 3, axis=-1)
+
+    gt_np = np.asarray(jax.device_get(gt))[:, 1:]
+    fvd_gen = compute_fvd(to_rgb(gt_np),
+                          to_rgb(np.asarray(jax.device_get(video))),
+                          extractor)
+    fvd_recon = compute_fvd(to_rgb(gt_np),
+                            to_rgb(np.asarray(jax.device_get(recon_gt))[:, 1:]),
+                            extractor)
+    log_metrics(out_dir, {
+        "phase": f"fvd_{split}", "samples": g,
+        "fvd_gen_vs_gt": float(fvd_gen),
+        "fvd_recon_vs_gt": float(fvd_recon),
+        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42",
+        "feature_dim": 400,
+    })
+
     few = np.asarray(jax.device_get(video[: args.gifs]))
     few_gt = np.asarray(jax.device_get(gt[: args.gifs]))
     os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
@@ -535,7 +584,7 @@ def main(argv=None):
           f"{args.num_train} train / {args.num_val} val clips")
 
     model = VectorQuantizedVAE(input_dim=1, down_ratio=4, dim=args.dim, K=args.codebook)
-    if args.skip_stage1:
+    if args.skip_stage1 or args.eval_only:
         tx = vt.make_tx(args.lr1)
         state = vt.create_state(model, jax.random.PRNGKey(args.seed),
                                 jnp.zeros((1, 64, 64, 1)), tx)
@@ -545,7 +594,7 @@ def main(argv=None):
         model, state = stage1(args, dev, args.out)
 
     fs_variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if args.skip_stage2:
+    if args.skip_stage2 and not args.eval_only:
         return
     t0 = time.time()
     ids_train = materialize_latents(args, model, state, dev, "train")
@@ -555,7 +604,26 @@ def main(argv=None):
                            "sec": time.time() - t0})
 
     pipeline = build_pipeline(args, fs_variables)
-    params = stage2(args, pipeline, dev, ids_train, ids_val, args.out)
+    if args.eval_only:
+        ctx = pipeline.core.text_context_length
+        tmpl = jax.jit(
+            lambda: pipeline.core.init(
+                {"params": jax.random.PRNGKey(args.seed),
+                 "dropout": jax.random.PRNGKey(args.seed),
+                 "latent": jax.random.PRNGKey(args.seed)},
+                jnp.zeros((1, args.frames_length, *ids_train.shape[2:]),
+                          jnp.int32),
+                jnp.zeros((1, ctx), jnp.int32),
+                jnp.zeros((1,), jnp.float32),
+                train=True,
+            )["params"]
+        )()
+        restored = Checkpointer(os.path.join(args.out, "mage")).restore(
+            args.eval_ckpt, {"step": jnp.zeros((), jnp.int32),
+                             "params": jax.device_get(tmpl)})
+        params = jax.device_put(restored["params"])
+    else:
+        params = stage2(args, pipeline, dev, ids_train, ids_val, args.out)
     eval_generation(args, pipeline, params, dev, ids_val, "val", args.out)
     eval_generation(args, pipeline, params, dev, ids_train, "train", args.out)
 
