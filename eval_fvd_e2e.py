@@ -123,18 +123,23 @@ def main(argv=None):
 
     torch_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "rgb_imagenet.pt")
-    i3d = I3D(num_classes=400)
     if os.path.exists(torch_ckpt):
         import torch
 
         variables = import_i3d_torch(torch.load(torch_ckpt, map_location="cpu"))
         provenance = "pytorch-i3d rgb_imagenet.pt (Kinetics)"
+        endpoint, feature_dim = "logits", 400
     else:
+        # random weights: use the shallow endpoint — the full stack
+        # mean-field-collapses at random init (see I3D docstring)
+        endpoint, feature_dim = "Mixed_3c", 480
+        i3d = I3D(num_classes=400, endpoint=endpoint)
         variables = jax.jit(lambda: i3d.init(
             jax.random.PRNGKey(42), jnp.zeros((1, 9, 64, 64, 3)), train=False
         ))()
-        provenance = "random-init seed 42 (no Kinetics ckpt in image)"
-    extractor = make_extractor(variables, batch_size=8)
+        provenance = ("random-init seed 42, endpoint Mixed_3c "
+                      "(no Kinetics ckpt in image)")
+    extractor = make_extractor(variables, batch_size=8, endpoint=endpoint)
 
     def to_rgb(v):
         # I3D expects float [-1, 1] (make_extractor contract)
@@ -148,7 +153,7 @@ def main(argv=None):
         "fvd_gen_vs_gt": float(fvd_gen),
         "fvd_recon_vs_gt": float(fvd_recon),
         "gen_psnr_vs_gt": float(10 * np.log10(1.0 / max(mse, 1e-12))),
-        "extractor": provenance, "feature_dim": 400,
+        "extractor": provenance, "feature_dim": feature_dim,
         "time": time.time(),
     }
     out = args.out or os.path.join(args.run, "e2e_metrics.json")

@@ -105,12 +105,25 @@ _INCEPTIONS = {
 
 
 class I3D(nn.Module):
-    """Inflated Inception-V1, Kinetics-400 head (logits, pre-softmax)."""
+    """Inflated Inception-V1, Kinetics-400 head (logits, pre-softmax).
+
+    ``endpoint`` truncates the forward pass and returns the globally
+    averaged features of that stage instead of the logits. With a
+    Kinetics checkpoint the standard FVD features are the default
+    ("logits"); with RANDOM weights (offline fallback) the deep stack
+    mean-field-collapses — 11+ rectified conv/pool stages map every video
+    to nearly the same vector (measured: feature std across videos ~1e-9
+    on digit content) — so random-extractor callers should use a shallow
+    endpoint ("Mixed_3c") where random projections still discriminate."""
 
     num_classes: int = 400
+    endpoint: str = "logits"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        def done(name):
+            return self.endpoint == name
+
         x = Unit3D(64, (7, 7, 7), (2, 2, 2), name="Conv3d_1a_7x7")(x, train)
         x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
         x = Unit3D(64, name="Conv3d_2b_1x1")(x, train)
@@ -118,9 +131,13 @@ class I3D(nn.Module):
         x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
         x = InceptionModule(_INCEPTIONS["Mixed_3b"], name="Mixed_3b")(x, train)
         x = InceptionModule(_INCEPTIONS["Mixed_3c"], name="Mixed_3c")(x, train)
+        if done("Mixed_3c"):
+            return jnp.mean(x, axis=(1, 2, 3))  # (N, 480)
         x = _max_pool_same(x, (3, 3, 3), (2, 2, 2))
         for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
             x = InceptionModule(_INCEPTIONS[name], name=name)(x, train)
+        if done("Mixed_4f"):
+            return jnp.mean(x, axis=(1, 2, 3))  # (N, 832)
         x = _max_pool_same(x, (2, 2, 2), (2, 2, 2))
         x = InceptionModule(_INCEPTIONS["Mixed_5b"], name="Mixed_5b")(x, train)
         x = InceptionModule(_INCEPTIONS["Mixed_5c"], name="Mixed_5c")(x, train)
@@ -194,12 +211,14 @@ def import_i3d_torch(state_dict: Mapping[str, Any]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-def make_extractor(variables: Mapping[str, Any], batch_size: int = 8):
-    """(N, T, H, W, 3) uint8 [0,255] or float [-1,1] -> (N, 400) logits,
+def make_extractor(variables: Mapping[str, Any], batch_size: int = 8,
+                   endpoint: str = "logits"):
+    """(N, T, H, W, 3) uint8 [0,255] or float [-1,1] -> (N, D) features,
     jitted in ``batch_size`` chunks (the FVD protocol's >=256 clips of
     16x224px would OOM as a single dispatch); the canonical FVD feature
-    fn for compute_fvd."""
-    model = I3D()
+    fn for compute_fvd. Use endpoint="Mixed_3c" with random-init weights
+    (see I3D docstring)."""
+    model = I3D(endpoint=endpoint)
     apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
     def extract(videos: np.ndarray) -> np.ndarray:

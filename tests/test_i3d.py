@@ -67,6 +67,38 @@ def test_i3d_import_and_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_random_init_shallow_endpoint_discriminates():
+    """With RANDOM weights the full 11-stage stack mean-field-collapses
+    (every video maps to nearly the same logits vector), making the
+    offline FVD fallback meaningless; the shallow Mixed_3c endpoint keeps
+    enough input variance that different video distributions separate.
+    Pins the fix for the offline extractor (exact-0.0 FVDs in e2e runs)."""
+    import jax
+    from mage_tpu.evals.fvd import compute_fvd
+
+    def clips(moving, seed, n=8):
+        r = np.random.RandomState(seed)
+        v = np.full((n, 5, 32, 32, 3), -1.0, np.float32)
+        for i in range(n):
+            y0, x0 = r.randint(2, 20, 2)
+            for t in range(5):
+                y = y0 + (3 * t if moving else 0)
+                v[i, t, y % 26:(y % 26) + 6, x0:x0 + 6] = 1.0
+        return v
+
+    shallow = I3D(endpoint="Mixed_3c")
+    iv = jax.jit(lambda: shallow.init(
+        jax.random.PRNGKey(42), jnp.zeros((1, 5, 32, 32, 3)),
+        train=False))()
+    ex = make_extractor(iv, batch_size=4, endpoint="Mixed_3c")
+    feats = ex(clips(True, seed=1))
+    assert feats.shape == (8, 480)
+    assert float(np.std(feats, axis=0).mean()) > 1e-4  # not collapsed
+    same = compute_fvd(clips(True, 1), clips(True, 2), ex, batch_size=4)
+    diff = compute_fvd(clips(True, 1), clips(False, 3), ex, batch_size=4)
+    assert diff > 3.0 * same
+
+
 def test_i3d_fvd_end_to_end():
     """compute_fvd with the real I3D wiring: FVD(x, x) == 0 and
     FVD(x, y) > 0 for distribution-shifted y."""

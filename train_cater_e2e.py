@@ -586,13 +586,13 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
     from mage_tpu.evals.fvd import compute_fvd
     from mage_tpu.evals.i3d import I3D, make_extractor
 
-    i3d = I3D(num_classes=400)
+    i3d = I3D(num_classes=400, endpoint="Mixed_3c")
     iv = jax.jit(
         lambda: i3d.init(jax.random.PRNGKey(42),
                          jnp.zeros((1, args.frames_length - 1, 128, 128, 3)),
                          train=False)
     )()
-    extractor = make_extractor(iv, batch_size=4)
+    extractor = make_extractor(iv, batch_size=4, endpoint="Mixed_3c")
     recon_np = np.asarray(jax.device_get(recon_gt), np.float64)[:, 1:]
     clip = lambda v: np.clip(v, -1.0, 1.0).astype(np.float32)  # noqa: E731
     fvd_gen = compute_fvd(clip(gt_np[:, 1:]), clip(gen_np), extractor)
@@ -601,8 +601,8 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
         "phase": f"fvd_{split}", "samples": g,
         "fvd_gen_vs_gt": float(fvd_gen),
         "fvd_recon_vs_gt": float(fvd_recon),
-        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42",
-        "feature_dim": 400,
+        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42, endpoint Mixed_3c (deep random features mean-field-collapse; shallow random projections discriminate — see I3D docstring)",
+        "feature_dim": 480,
     })
 
     few = np.asarray(gen_np[: args.gifs], np.float32)

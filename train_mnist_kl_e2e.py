@@ -546,12 +546,12 @@ def eval_generation(args, pipeline, params, dev, mom, split, out_dir):
     from mage_tpu.evals.fvd import compute_fvd
     from mage_tpu.evals.i3d import I3D, make_extractor
 
-    i3d = I3D(num_classes=400)
+    i3d = I3D(num_classes=400, endpoint="Mixed_3c")
     iv = jax.jit(
         lambda: i3d.init(jax.random.PRNGKey(42),
                          jnp.zeros((1, 9, 64, 64, 3)), train=False)
     )()
-    extractor = make_extractor(iv, batch_size=8)
+    extractor = make_extractor(iv, batch_size=8, endpoint="Mixed_3c")
 
     def to_rgb(v):
         # I3D expects float [-1, 1] (make_extractor contract)
@@ -572,8 +572,8 @@ def eval_generation(args, pipeline, params, dev, mom, split, out_dir):
         "phase": f"fvd_{split}", "samples": g,
         "fvd_gen_vs_gt": float(fvd_gen),
         "fvd_recon_vs_gt": float(fvd_recon),
-        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42",
-        "feature_dim": 400,
+        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42, endpoint Mixed_3c (deep random features mean-field-collapse; shallow random projections discriminate — see I3D docstring)",
+        "feature_dim": 480,
     })
 
     few = np.asarray(jax.device_get(vid_c))[: args.gifs]
