@@ -73,28 +73,33 @@ class FirstStageVQVAE:
                 )
         return cls(model, variables)
 
-    def encode(self, videos: jax.Array, variables=None) -> jax.Array:
+    def encode(self, videos: jax.Array, variables=None,
+               max_chunk: int = 512) -> jax.Array:
         """(B, T, H, W, C) -> (B, T, h, w) int32 ids (no gradients).
 
         ``variables`` lets jitted callers pass the frozen weights as traced
-        arguments instead of baking them into the executable as constants."""
+        arguments instead of baking them into the executable as constants.
+        ``max_chunk`` bounds frames per dispatch (the 512 default is sized
+        for bf16 at 128px; f32 encodes at that resolution need ~256)."""
         variables = self.variables if variables is None else variables
         b, t = videos.shape[:2]
         flat = videos.reshape(b * t, *videos.shape[2:])
         ids = _chunked_frames(
             lambda c: self.model.apply(variables, c, method="encode", mutable=False),
-            flat,
+            flat, max_chunk=max_chunk,
         )
         return jax.lax.stop_gradient(ids.reshape(b, t, *ids.shape[1:]))
 
-    def decode(self, latents: jax.Array, variables=None) -> jax.Array:
-        """(B, T, h, w) ids -> (B, T, H, W, C)."""
+    def decode(self, latents: jax.Array, variables=None,
+               max_chunk: int = 512) -> jax.Array:
+        """(B, T, h, w) ids -> (B, T, H, W, C). ``max_chunk`` as in
+        :meth:`encode` — halve it for f32 decodes at 128px."""
         variables = self.variables if variables is None else variables
         b, t = latents.shape[:2]
         flat = latents.reshape(b * t, *latents.shape[2:])
         frames = _chunked_frames(
             lambda c: self.model.apply(variables, c, method="decode", mutable=False),
-            flat,
+            flat, max_chunk=max_chunk,
         )
         return jax.lax.stop_gradient(frames.reshape(b, t, *frames.shape[1:]))
 

@@ -220,10 +220,14 @@ def stage1(args, dev, out_dir):
 
 
 def materialize_latents(args, model, state, dev, split):
-    """Encode all stored frames of every clip -> ids (N, T_STORE, 16, 16)."""
+    """Encode all stored frames of every clip -> ids (N, T_STORE, 16, 16).
+
+    chunk x T_STORE frames run per dispatch; 25 clips (600 128px frames)
+    OOM'd the single chip at 21.3 of 15.75 GB HBM — the f32 encoder tops
+    out ~16 MB of activations per frame at the 128^2 x dim level."""
     d = dev[split]
     n = int(d["sid"].shape[0])
-    chunk = 25
+    chunk = 5
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
@@ -547,14 +551,17 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
             {"params": params}, lat0, text, speed, method="generate_cached",
             rngs={"latent": jax.random.PRNGKey(7)},
         )
-        video = pipeline.first_stage.decode(gen, variables=fs_vars)
+        # max_chunk 128: the f32 VQ decoder at 128px runs ~16 MB of
+        # activations per frame — 432 unchunked frames OOM'd the chip
+        video = pipeline.first_stage.decode(gen, variables=fs_vars,
+                                            max_chunk=128)
         idxg = jnp.arange(g)
         gt = jax.vmap(
             lambda i: frames_at(dev, split, jnp.broadcast_to(i, pos.shape[1:]),
                                 pos[i])
         )(idxg)
         recon_gt = pipeline.first_stage.decode(
-            ids[:g][idxg[:, None], pos], variables=fs_vars
+            ids[:g][idxg[:, None], pos], variables=fs_vars, max_chunk=128
         )
         mse_gen = jnp.mean((video - gt[:, 1:]) ** 2)
         mse_recon = jnp.mean((recon_gt[:, 1:] - gt[:, 1:]) ** 2)

@@ -206,7 +206,8 @@ def materialize_moments(args, model, params, dev, split):
     mage_model.py:542-549, without re-running the encoder)."""
     d = dev[split]
     n = int(d["sid"].shape[0])
-    chunk = 10
+    chunk = 5  # 120 128px frames/dispatch (25-clip chunks OOM'd the
+    # discrete chain's f32 encoder at this resolution; headroom here)
 
     @jax.jit
     def encode_chunk(idx):

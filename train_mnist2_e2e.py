@@ -68,6 +68,13 @@ def parse_args(argv=None):
     p.add_argument("--eval-only", action="store_true",
                    help="restore <out>/{vqvae,mage}/<--eval-ckpt> and run "
                         "the generation evals only")
+    p.add_argument("--resume", action="store_true",
+                   help="continue stage 2 from <out>/mage/last (params + "
+                        "optimizer state + epoch); train to the NEW "
+                        "--stage2-epochs with the cosine spanning it")
+    p.add_argument("--resume-epoch", type=int, default=0,
+                   help="with --resume when only a params-only 'final' "
+                        "checkpoint exists: the epoch that run had reached")
     p.add_argument("--eval-ckpt", default="final")
     p.add_argument("--eval-videos", type=int, default=64)
     p.add_argument("--gifs", type=int, default=6)
@@ -370,8 +377,32 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
     rng = jax.random.PRNGKey(args.seed + 2)
     ckpt = Checkpointer(os.path.join(out_dir, "mage"))
     best = float("inf")
+    start_epoch = 0
+    if args.resume:
+        if os.path.isdir(os.path.join(out_dir, "mage", "last")):
+            # full optimizer state rides in the "last" checkpoint, so a
+            # continued run is step-equivalent to a longer one (modulo the
+            # cosine schedule now spanning the NEW --stage2-epochs)
+            template = {"step": jax.device_get(step), "epoch": 0,
+                        "params": jax.device_get(params),
+                        "opt_state": jax.device_get(opt_state)}
+            restored = ckpt.restore("last", template)
+            opt_state = jax.device_put(restored["opt_state"])
+            start_epoch = int(restored["epoch"]) + 1
+        else:
+            # older runs saved params only: warm-restart Adam (moments
+            # re-estimate within ~100 steps); --resume-epoch supplies the
+            # epoch the run had reached
+            restored = ckpt.restore("final", {
+                "step": jax.device_get(step),
+                "params": jax.device_get(params)})
+            start_epoch = args.resume_epoch
+        params = jax.device_put(restored["params"])
+        step = jax.device_put(restored["step"])
+        print(f"resumed stage 2 at epoch {start_epoch} "
+              f"(step {int(jax.device_get(step))})")
     t0 = time.time()
-    for epoch in range(args.stage2_epochs):
+    for epoch in range(start_epoch, args.stage2_epochs):
         lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
@@ -386,12 +417,15 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
             log_metrics(out_dir, {
                 "phase": "stage2", "epoch": epoch, "lr": lr, "train_loss": loss,
                 "val_loss": val_loss, "val_prediction": val_pred,
-                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
             if val_loss < best:
                 best = val_loss
                 ckpt.save("best", {"step": jax.device_get(step),
                                    "params": jax.device_get(params)})
+            ckpt.save("last", {"step": jax.device_get(step), "epoch": epoch,
+                               "params": jax.device_get(params),
+                               "opt_state": jax.device_get(opt_state)})
     ckpt.save("final", {"step": jax.device_get(step),
                         "params": jax.device_get(params)})
     return params
@@ -566,7 +600,9 @@ def main(argv=None):
     if args.tiny:
         args.num_train, args.num_val = 64, 16
         args.dim, args.codebook = 16, 32
-        args.stage1_epochs, args.stage2_epochs = 2, 2
+        args.stage1_epochs = 2
+        if args.stage2_epochs == 60:  # keep an explicit value (resume smokes)
+            args.stage2_epochs = 2
         args.batch1, args.batch2, args.chunk = 8, 4, 2
         args.eval_videos, args.gifs = 4, 1
     os.makedirs(args.out, exist_ok=True)
