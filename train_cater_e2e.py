@@ -77,6 +77,11 @@ def parse_args(argv=None):
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--eval-videos", type=int, default=48)
     p.add_argument("--gifs", type=int, default=6)
+    p.add_argument("--codebook-restart", action="store_true",
+                   help="re-seed dead codebook entries every other epoch "
+                        "from encoder features (the flagship stage-1 run "
+                        "used 37/512 codes and motion-frame recon trailed "
+                        "frame-0 recon by 10 dB; off = reference parity)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true")
     return p.parse_args(argv)
@@ -178,6 +183,10 @@ def stage1(args, dev, out_dir):
         used = jnp.unique(ids, size=args.codebook, fill_value=-1)
         return jnp.mean((recon - frames) ** 2), jnp.sum(used >= 0), frames, recon
 
+    restart_fn = None
+    if args.codebook_restart:
+        restart_fn = jax.jit(vt.make_restart_dead_codes(model))
+
     steps_per_epoch = max(n // b, 1)
     chunks = max(round(steps_per_epoch / args.chunk), 1)
     rng = jax.random.PRNGKey(args.seed + 1)
@@ -187,13 +196,24 @@ def stage1(args, dev, out_dir):
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
             state, loss = train_chunk(state, sub, args.lr1)
+        if restart_fn is not None and epoch % 2 == 1:
+            rng, k1, k2, k3 = jax.random.split(rng, 4)
+            s = jax.random.randint(k1, (64,), 0, n)
+            f = jax.random.randint(k2, (64,), 0, T_STORE)
+            state, _n_dead = restart_fn(state, frames_at(dev, "train", s, f),
+                                        k3)
         if epoch % 10 == 0 or epoch == args.stage1_epochs - 1:
             loss = float(jax.device_get(loss))
             mse, used, frames, recon = eval_recon(state, jnp.int32(0))
+            # mid-action frame: sprites at off-grid offsets, rotation
+            # phases, z-lift — the content whose recon bounds generation
+            mse_m, _, _, _ = eval_recon(state, jnp.int32(T_STORE // 2))
             mse, used = float(jax.device_get(mse)), int(jax.device_get(used))
+            mse_m = float(jax.device_get(mse_m))
             log_metrics(out_dir, {
                 "phase": "stage1", "epoch": epoch, "train_loss": loss,
                 "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
+                "val_recon_psnr_motion": mse_to_psnr(mse_m),
                 "codebook_used": used,
                 "sec_per_epoch": (time.time() - t0) / (epoch + 1),
             })
