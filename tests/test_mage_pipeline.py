@@ -232,6 +232,29 @@ def test_chunked_frames_matches_single_shot():
     )
 
 
+def test_first_stage_max_chunk_bit_identical():
+    """encode/decode with a small max_chunk (the f32-at-128px HBM knob,
+    train_cater_e2e eval) must match the unchunked path bit for bit."""
+    import jax
+    import jax.numpy as jnp
+    from mage_tpu.models.pipeline import FirstStageVQVAE
+    from mage_tpu.models.vqvae import VectorQuantizedVAE
+
+    model = VectorQuantizedVAE(input_dim=3, down_ratio=4, dim=16, K=32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   train=True)
+    fs = FirstStageVQVAE(model, v)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (3, 4, 8, 8), 0, 32)
+    full = fs.decode(ids)
+    chunked = fs.decode(ids, max_chunk=4)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+    vids = jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 32, 32, 3))
+    np.testing.assert_array_equal(
+        np.asarray(fs.encode(vids)),
+        np.asarray(fs.encode(vids, max_chunk=2)),
+    )
+
+
 def test_nested_targets_select_classes():
     """Nested ``target:`` fields drive class selection (reference
     mage_model.py:474-477): reference class paths are alias-resolved, and a
