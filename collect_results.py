@@ -29,12 +29,25 @@ def collect(run_dir: str) -> dict:
     return last
 
 
+def sidecars(run_dir: str) -> dict:
+    """Standalone eval reports written next to a run (whole-file JSON, not
+    the line-oriented e2e_metrics.json): speed-control sweep, etc."""
+    out = {}
+    for name in ("speed_control_metrics.json",):
+        path = os.path.join(run_dir, name)
+        if os.path.exists(path):
+            with open(path) as fp:
+                out[name.removesuffix("_metrics.json")] = json.load(fp)
+    return out
+
+
 def main():
     os.makedirs("docs/results", exist_ok=True)
     rows = []
     for run_dir in sorted(glob.glob("runs/*")):
         name = os.path.basename(run_dir)
         last = collect(run_dir)
+        last.update(sidecars(run_dir))
         if not last:
             continue
         with open(f"docs/results/{name}_metrics.json", "w") as fp:
