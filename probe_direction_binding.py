@@ -1,0 +1,166 @@
+"""CPU probe: does generation FOLLOW the caption's direction words?
+
+Teacher-forced CE barely moves under direction-word swaps on both trained
+MNIST models (probe_text_sensitivity.py), and PSNR-vs-GT cannot resolve
+direction (wrong-direction GT clips of the same digit are ~28 dB apart,
+like the speed cross-matrix in eval_speed_control.py). The decisive test
+is generative: AR-generate the SAME first frame at speed 0.5 under
+
+  (a) the true caption,
+  (b) the sign-swapped caption   (up<->down, left<->right),
+  (c) the axis-swapped caption   (up<->left, down<->right),
+
+then measure the digit's initial motion (thresholded-centroid displacement
+over the first valid frames) against the caption's FIRST direction word.
+A direction-bound model keeps agreement high in all three columns (it
+follows whatever the caption says); a hedging model generates the same
+video regardless (pairwise MSE between variants ~0) and its agreement
+with the modified captions drops to chance.
+
+Reference capability under test: the caption is the ONLY source of the
+initial direction — position+physics determine everything else
+(/root/reference/data/mnist_caption_single.py:62-109,149).
+"""
+import argparse
+import os
+
+if os.environ.get("JAX_PLATFORMS") is None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mage_tpu.data.device_data as dd
+import mage_tpu.training.vqvae_trainer as vt
+from mage_tpu.models.vqvae import VectorQuantizedVAE
+from mage_tpu.training.checkpoint import Checkpointer
+
+from eval_speed_control import centroid_track
+
+# MNIST_VOCAB direction tokens and their screen-space motion
+# (y grows downward): up = -y, down = +y, left = -x, right = +x
+DIR_TOKENS = {24: (-1, 0), 25: (1, 0), 26: (0, -1), 27: (0, 1)}
+SIGN_SWAP = {24: 25, 25: 24, 26: 27, 27: 26}
+AXIS_SWAP = {24: 26, 26: 24, 25: 27, 27: 25}
+
+
+def swap_tokens(text: np.ndarray, mapping: dict) -> np.ndarray:
+    out = text.copy()
+    for a, b in mapping.items():
+        out[text == a] = b
+    return out
+
+
+def first_direction(text_row: np.ndarray):
+    for tok in text_row:
+        if int(tok) in DIR_TOKENS:
+            return DIR_TOKENS[int(tok)]
+    return None
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", default="runs/mnist_e2e_full")
+    ap.add_argument("--ckpt", default="final")
+    ap.add_argument("--videos", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=4,
+                    help="initial frames over which direction is measured")
+    args = ap.parse_args(argv)
+
+    from train_mnist_e2e import build_pipeline, parse_args
+
+    targs = parse_args(["--out", args.run])
+    compact = dd.build_compact_single_mnist(
+        targs.num_train, targs.num_val, targs.seed, targs.mnist_npz
+    )
+    bank = dd.normalize_bank(compact["bank"])
+    val = {k: jnp.asarray(v) for k, v in compact["val"].items()}
+    G = args.videos
+
+    model = VectorQuantizedVAE(input_dim=1, down_ratio=4,
+                               dim=targs.dim, K=targs.codebook)
+    state = vt.create_state(model, jax.random.PRNGKey(targs.seed),
+                            jnp.zeros((1, 64, 64, 1)), vt.make_tx(targs.lr1))
+    state = Checkpointer(os.path.join(args.run, "vqvae")).restore("best", state)
+    fs_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    pipeline = build_pipeline(targs, fs_vars)
+    L = targs.frames_length
+    tmpl = jax.jit(
+        lambda: pipeline.core.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0),
+             "latent": jax.random.PRNGKey(0)},
+            jnp.zeros((1, L, 16, 16), jnp.int32),
+            jnp.zeros((1, pipeline.core.text_context_length), jnp.int32),
+            jnp.zeros((1,), jnp.float32), train=True)["params"]
+    )()
+    params = Checkpointer(os.path.join(args.run, "mage")).restore(
+        args.ckpt, {"step": 0, "params": tmpl})["params"]
+    print("restored", args.run)
+
+    text_true = np.asarray(val["text"][:G])
+    variants = {
+        "true": text_true,
+        "sign_swap": swap_tokens(text_true, SIGN_SWAP),
+        "axis_swap": swap_tokens(text_true, AXIS_SWAP),
+    }
+    texts = jnp.asarray(np.concatenate(list(variants.values())))  # (3G, ctx)
+    V = len(variants)
+
+    @jax.jit
+    def run(params, fs_vars, bank, digit, ys, xs, texts):
+        f0 = dd.compose_frames(bank, digit, ys[:, 0], xs[:, 0])
+        lat0 = model.apply(fs_vars, f0, method="encode",
+                           mutable=False).astype(jnp.int32)[:, None]
+        lat0_t = jnp.tile(lat0, (V, 1, 1, 1))
+        speed_t = jnp.full((V * G,), 0.5, jnp.float32)
+        gen = pipeline.core.apply(
+            {"params": params}, lat0_t, texts, speed_t,
+            method="generate_cached", rngs={"latent": jax.random.PRNGKey(7)},
+        )
+        video = pipeline.first_stage.decode(gen, variables=fs_vars)
+        video = video.reshape(V, G, L - 1, *video.shape[2:])
+        tracks = jnp.stack([centroid_track(video[v]) for v in range(V)])
+        # initial displacement: centroid over the first `frames` generated
+        # frames relative to the TRUE frame-0 digit position
+        start = jnp.stack(
+            [ys[:, 0].astype(jnp.float32) + 14.0,
+             xs[:, 0].astype(jnp.float32) + 14.0], axis=-1)  # digit center
+        disp = tracks[:, :, args.frames - 1] - start[None]
+        # how different the variants' videos are (hedge detector)
+        d_sign = jnp.mean((video[0] - video[1]) ** 2)
+        d_axis = jnp.mean((video[0] - video[2]) ** 2)
+        return disp, d_sign, d_axis
+
+    disp, d_sign, d_axis = map(jax.device_get, run(
+        params, fs_vars, bank, val["digit"][:G], val["ys"][:G],
+        val["xs"][:G], texts))
+
+    print(f"\npairwise video MSE true-vs-sign_swap: {d_sign:.3e}, "
+          f"true-vs-axis_swap: {d_axis:.3e}")
+    print(f"(GT motion scale for reference: digit moves ~3 px/frame; an "
+          f"identical pair means captions don't steer generation)\n")
+
+    for vi, (name, txt) in enumerate(variants.items()):
+        ok_axis = ok_sign = n = 0
+        for g in range(G):
+            want = first_direction(txt[g])
+            if want is None:
+                continue
+            dy, dx = float(disp[vi, g, 0]), float(disp[vi, g, 1])
+            axis_is_y = abs(dy) >= abs(dx)
+            want_y = want[0] != 0
+            ok_axis += int(axis_is_y == want_y)
+            comp = dy if want_y else dx
+            sign = np.sign(comp)
+            want_sign = want[0] if want_y else want[1]
+            ok_sign += int(axis_is_y == want_y and sign == want_sign)
+            n += 1
+        print(f"{name:9s}: axis agreement {ok_axis}/{n} "
+              f"({100*ok_axis/max(n,1):.0f}%), axis+sign agreement "
+              f"{ok_sign}/{n} ({100*ok_sign/max(n,1):.0f}%)")
+
+
+if __name__ == "__main__":
+    main()
