@@ -67,6 +67,9 @@ def main(argv=None):
     ap.add_argument("--videos", type=int, default=32)
     ap.add_argument("--frames", type=int, default=4,
                     help="initial frames over which direction is measured")
+    ap.add_argument("--min-room", type=int, default=12,
+                    help="px of head-room required along the commanded "
+                         "direction (~3 px/frame at speed 0.5 over --frames)")
     args = ap.parse_args(argv)
 
     from train_mnist_e2e import build_pipeline, parse_args
@@ -142,11 +145,24 @@ def main(argv=None):
     print(f"(GT motion scale for reference: digit moves ~3 px/frame; an "
           f"identical pair means captions don't steer generation)\n")
 
+    ys0 = np.asarray(val["ys"][:G, 0])
+    xs0 = np.asarray(val["xs"][:G, 0])
+    span = 64 - 28  # valid top-left range [0, span]
     for vi, (name, txt) in enumerate(variants.items()):
-        ok_axis = ok_sign = n = 0
+        ok_axis = ok_sign = n_axis_ok = n = skipped = 0
         for g in range(G):
             want = first_direction(txt[g])
             if want is None:
+                continue
+            # counterfactual feasibility: bouncing physics flips the sign
+            # inside the measurement window when the digit starts close to
+            # the wall it is commanded toward — exclude those cases
+            if want[0] != 0:
+                room = (span - ys0[g]) if want[0] > 0 else ys0[g]
+            else:
+                room = (span - xs0[g]) if want[1] > 0 else xs0[g]
+            if room < args.min_room:
+                skipped += 1
                 continue
             dy, dx = float(disp[vi, g, 0]), float(disp[vi, g, 1])
             axis_is_y = abs(dy) >= abs(dx)
@@ -155,11 +171,14 @@ def main(argv=None):
             comp = dy if want_y else dx
             sign = np.sign(comp)
             want_sign = want[0] if want_y else want[1]
-            ok_sign += int(axis_is_y == want_y and sign == want_sign)
+            if axis_is_y == want_y:
+                n_axis_ok += 1
+                ok_sign += int(sign == want_sign)
             n += 1
         print(f"{name:9s}: axis agreement {ok_axis}/{n} "
-              f"({100*ok_axis/max(n,1):.0f}%), axis+sign agreement "
-              f"{ok_sign}/{n} ({100*ok_sign/max(n,1):.0f}%)")
+              f"({100*ok_axis/max(n,1):.0f}%), sign given axis "
+              f"{ok_sign}/{n_axis_ok} ({100*ok_sign/max(n_axis_ok,1):.0f}%), "
+              f"{skipped} wall-blocked cases excluded")
 
 
 if __name__ == "__main__":
