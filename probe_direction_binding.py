@@ -65,11 +65,18 @@ def main(argv=None):
     ap.add_argument("--run", default="runs/mnist_e2e_full")
     ap.add_argument("--ckpt", default="final")
     ap.add_argument("--videos", type=int, default=32)
-    ap.add_argument("--frames", type=int, default=4,
-                    help="initial frames over which direction is measured")
+    ap.add_argument("--frames", type=int, default=1,
+                    help="initial generated frames over which direction is "
+                         "measured. GT motion at speed 0.5 is ~9 px/frame "
+                         "(eval_speed_control), so windows > 2 frames cross "
+                         "the 36 px span and bounce — the gt_ceiling line "
+                         "validates any (frames, min-room) choice")
     ap.add_argument("--min-room", type=int, default=12,
                     help="px of head-room required along the commanded "
-                         "direction (~3 px/frame at speed 0.5 over --frames)")
+                         "direction (~9 px/frame at speed 0.5)")
+    ap.add_argument("--ceiling-only", action="store_true",
+                    help="only compute the measurement ceiling (the same "
+                         "window/gating/tracker on GT pixel clips); no model")
     args = ap.parse_args(argv)
 
     from train_mnist_e2e import build_pipeline, parse_args
@@ -81,6 +88,63 @@ def main(argv=None):
     bank = dd.normalize_bank(compact["bank"])
     val = {k: jnp.asarray(v) for k, v in compact["val"].items()}
     G = args.videos
+    L = targs.frames_length
+    text_true = np.asarray(val["text"][:G])
+    ys0 = np.asarray(val["ys"][:G, 0])
+    xs0 = np.asarray(val["xs"][:G, 0])
+    # start = tracked centroid of the TRUE frame 0 (box-center +14 carries
+    # the digit's ink-offset, a few px of constant bias that matters at
+    # 1-2-frame windows)
+    f0_gt = dd.compose_frames(bank, val["digit"][:G],
+                              val["ys"][:G, 0], val["xs"][:G, 0])
+    start = np.asarray(jax.device_get(
+        centroid_track(f0_gt[:, None])))[:, 0]  # (G, 2)
+
+    def score(name, txt, disp_g):
+        """disp_g (G, 2) measured (dy, dx); agreement vs txt's first
+        direction word, wall-blocked cases excluded."""
+        span = 64 - 28
+        ok_axis = ok_sign = n_axis_ok = n = skipped = 0
+        for g in range(G):
+            want = first_direction(txt[g])
+            if want is None:
+                continue
+            if want[0] != 0:
+                room = (span - ys0[g]) if want[0] > 0 else ys0[g]
+            else:
+                room = (span - xs0[g]) if want[1] > 0 else xs0[g]
+            if room < args.min_room:
+                skipped += 1
+                continue
+            dy, dx = float(disp_g[g, 0]), float(disp_g[g, 1])
+            axis_is_y = abs(dy) >= abs(dx)
+            want_y = want[0] != 0
+            ok_axis += int(axis_is_y == want_y)
+            comp = dy if want_y else dx
+            want_sign = want[0] if want_y else want[1]
+            if axis_is_y == want_y:
+                n_axis_ok += 1
+                ok_sign += int(np.sign(comp) == want_sign)
+            n += 1
+        print(f"{name:10s}: axis agreement {ok_axis}/{n} "
+              f"({100*ok_axis/max(n,1):.0f}%), sign given axis "
+              f"{ok_sign}/{n_axis_ok} ({100*ok_sign/max(n_axis_ok,1):.0f}%), "
+              f"{skipped} wall-blocked cases excluded")
+
+    # measurement ceiling: the identical window/gating/tracker applied to
+    # GT pixel clips at the probe's speed (0.5). If the pipeline is sound
+    # this is ~100%; anything lost here bounds the generated columns.
+    pos = np.asarray(dd.clip_indices(jnp.float32(0.5), frames_length=L))
+    p = pos[1:]  # generated video corresponds to stored frames pos[1:]
+    dig_f = jnp.repeat(val["digit"][:G], L - 1)
+    ys_f = val["ys"][:G][:, p].reshape(-1)
+    xs_f = val["xs"][:G][:, p].reshape(-1)
+    gt_frames = dd.compose_frames(bank, dig_f, ys_f, xs_f)
+    gt_video = gt_frames.reshape(G, L - 1, *gt_frames.shape[1:])
+    tr_gt = np.asarray(jax.device_get(centroid_track(gt_video)))
+    score("gt_ceiling", text_true, tr_gt[:, args.frames - 1] - start)
+    if args.ceiling_only:
+        return
 
     model = VectorQuantizedVAE(input_dim=1, down_ratio=4,
                                dim=targs.dim, K=targs.codebook)
@@ -89,7 +153,6 @@ def main(argv=None):
     state = Checkpointer(os.path.join(args.run, "vqvae")).restore("best", state)
     fs_vars = {"params": state.params, "batch_stats": state.batch_stats}
     pipeline = build_pipeline(targs, fs_vars)
-    L = targs.frames_length
     tmpl = jax.jit(
         lambda: pipeline.core.init(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0),
@@ -102,7 +165,6 @@ def main(argv=None):
         args.ckpt, {"step": 0, "params": tmpl})["params"]
     print("restored", args.run)
 
-    text_true = np.asarray(val["text"][:G])
     variants = {
         "true": text_true,
         "sign_swap": swap_tokens(text_true, SIGN_SWAP),
@@ -125,60 +187,26 @@ def main(argv=None):
         video = pipeline.first_stage.decode(gen, variables=fs_vars)
         video = video.reshape(V, G, L - 1, *video.shape[2:])
         tracks = jnp.stack([centroid_track(video[v]) for v in range(V)])
-        # initial displacement: centroid over the first `frames` generated
-        # frames relative to the TRUE frame-0 digit position
-        start = jnp.stack(
-            [ys[:, 0].astype(jnp.float32) + 14.0,
-             xs[:, 0].astype(jnp.float32) + 14.0], axis=-1)  # digit center
-        disp = tracks[:, :, args.frames - 1] - start[None]
         # how different the variants' videos are (hedge detector)
         d_sign = jnp.mean((video[0] - video[1]) ** 2)
         d_axis = jnp.mean((video[0] - video[2]) ** 2)
-        return disp, d_sign, d_axis
+        return tracks, d_sign, d_axis
 
-    disp, d_sign, d_axis = map(jax.device_get, run(
+    tracks, d_sign, d_axis = map(jax.device_get, run(
         params, fs_vars, bank, val["digit"][:G], val["ys"][:G],
         val["xs"][:G], texts))
+    # initial displacement: centroid at generated frame `frames-1` (stored
+    # frame pos[frames]) relative to the tracked TRUE frame-0 centroid
+    disp = np.asarray(tracks)[:, :, args.frames - 1] - start[None]
 
     print(f"\npairwise video MSE true-vs-sign_swap: {d_sign:.3e}, "
           f"true-vs-axis_swap: {d_axis:.3e}")
-    print(f"(GT motion scale for reference: digit moves ~3 px/frame; an "
-          f"identical pair means captions don't steer generation)\n")
+    print(f"(GT motion scale for reference: digit moves ~9 px/frame at "
+          f"speed 0.5; an identical pair means captions don't steer "
+          f"generation)\n")
 
-    ys0 = np.asarray(val["ys"][:G, 0])
-    xs0 = np.asarray(val["xs"][:G, 0])
-    span = 64 - 28  # valid top-left range [0, span]
     for vi, (name, txt) in enumerate(variants.items()):
-        ok_axis = ok_sign = n_axis_ok = n = skipped = 0
-        for g in range(G):
-            want = first_direction(txt[g])
-            if want is None:
-                continue
-            # counterfactual feasibility: bouncing physics flips the sign
-            # inside the measurement window when the digit starts close to
-            # the wall it is commanded toward — exclude those cases
-            if want[0] != 0:
-                room = (span - ys0[g]) if want[0] > 0 else ys0[g]
-            else:
-                room = (span - xs0[g]) if want[1] > 0 else xs0[g]
-            if room < args.min_room:
-                skipped += 1
-                continue
-            dy, dx = float(disp[vi, g, 0]), float(disp[vi, g, 1])
-            axis_is_y = abs(dy) >= abs(dx)
-            want_y = want[0] != 0
-            ok_axis += int(axis_is_y == want_y)
-            comp = dy if want_y else dx
-            sign = np.sign(comp)
-            want_sign = want[0] if want_y else want[1]
-            if axis_is_y == want_y:
-                n_axis_ok += 1
-                ok_sign += int(sign == want_sign)
-            n += 1
-        print(f"{name:9s}: axis agreement {ok_axis}/{n} "
-              f"({100*ok_axis/max(n,1):.0f}%), sign given axis "
-              f"{ok_sign}/{n_axis_ok} ({100*ok_sign/max(n_axis_ok,1):.0f}%), "
-              f"{skipped} wall-blocked cases excluded")
+        score(name, txt, disp[vi])
 
 
 if __name__ == "__main__":

@@ -78,12 +78,18 @@ def main(argv=None):
     ap.add_argument("--run", default="runs/mnist2_e2e")
     ap.add_argument("--ckpt", default="final")
     ap.add_argument("--videos", type=int, default=24)
-    ap.add_argument("--frames", type=int, default=4,
+    ap.add_argument("--frames", type=int, default=1,
                     help="initial generated frames over which direction is "
-                         "measured")
-    ap.add_argument("--min-room", type=int, default=8,
+                         "measured. GT motion is ~9 px/frame at speed 0.5 "
+                         "and 'X then Y' phrases REFLECT at the commanded "
+                         "wall, so wide windows corrupt the sign — the "
+                         "gt_ceiling line validates the choice")
+    ap.add_argument("--min-room", type=int, default=12,
                     help="px of head-room required along the commanded "
                          "direction for a digit-case to count")
+    ap.add_argument("--ceiling-only", action="store_true",
+                    help="only compute the measurement ceiling (the same "
+                         "window/gating/tracker on GT pixel clips); no model")
     args = ap.parse_args(argv)
 
     from train_mnist2_e2e import build_pipeline, parse_args, track_digit
@@ -98,6 +104,66 @@ def main(argv=None):
     }
     d = dev["val"]
     G = args.videos
+    L = targs.frames_length
+    text_true = np.asarray(d["text"][:G])
+    bank_np = np.asarray(jax.device_get(dev["bank"]))
+    host = {k: np.asarray(jax.device_get(v)) for k, v in d.items()
+            if k != "text"}
+    span = dd.IMAGE_SIZE - dd.DIGIT_SIZE  # valid top-left range [0, span]
+    K = args.frames
+
+    def score(name, txt, vids):
+        """vids (G, L-1, 64, 64) frames 1..L-1; per-digit agreement of the
+        initial tracked displacement with txt's clause direction words."""
+        ok_axis = ok_sign = n_axis_ok = n = skipped = 0
+        for g in range(G):
+            dirs = clause_directions(txt[g])
+            for ci, (dkey, ykey, xkey) in enumerate(
+                (("d1", "ys1", "xs1"), ("d2", "ys2", "xs2"))
+            ):
+                want = dirs[ci]
+                if want is None:
+                    continue
+                y0 = int(host[ykey][g, 0])
+                x0 = int(host[xkey][g, 0])
+                if want[0] != 0:
+                    room = (span - y0) if want[0] > 0 else y0
+                else:
+                    room = (span - x0) if want[1] > 0 else x0
+                if room < args.min_room:
+                    skipped += 1
+                    continue
+                tmpl_d = bank_np[host[dkey][g]]
+                tr = track_digit(vids[g], tmpl_d)  # (L-1, 2)
+                dy = float(tr[K - 1, 0] - y0)
+                dx = float(tr[K - 1, 1] - x0)
+                axis_is_y = abs(dy) >= abs(dx)
+                want_y = want[0] != 0
+                ok_axis += int(axis_is_y == want_y)
+                comp = dy if want_y else dx
+                want_sign = want[0] if want_y else want[1]
+                if axis_is_y == want_y:
+                    n_axis_ok += 1
+                    ok_sign += int(np.sign(comp) == want_sign)
+                n += 1
+        print(f"{name:10s}: axis agreement {ok_axis}/{n} "
+              f"({100*ok_axis/max(n,1):.0f}%), sign given axis "
+              f"{ok_sign}/{n_axis_ok} ({100*ok_sign/max(n_axis_ok,1):.0f}%), "
+              f"{skipped} wall-blocked cases excluded")
+
+    # measurement ceiling: identical window/gating/tracker on GT pixel
+    # clips at the probe's speed — validates (frames, min-room) before any
+    # model conclusion is drawn
+    from train_mnist2_e2e import clip_pixels
+
+    pos = jax.vmap(
+        lambda ln: dd.clip_indices_var(jnp.float32(0.5), ln, L)
+    )(d["length"][:G])
+    gt = jax.vmap(lambda i: clip_pixels(dev, "val", i, pos[i]))(jnp.arange(G))
+    score("gt_ceiling", text_true,
+          np.asarray(jax.device_get(gt))[:, 1:, ..., 0])
+    if args.ceiling_only:
+        return
 
     model = VectorQuantizedVAE(input_dim=1, down_ratio=4,
                                dim=targs.dim, K=targs.codebook)
@@ -106,7 +172,6 @@ def main(argv=None):
     state = Checkpointer(os.path.join(args.run, "vqvae")).restore("best", state)
     fs_vars = {"params": state.params, "batch_stats": state.batch_stats}
     pipeline = build_pipeline(targs, fs_vars)
-    L = targs.frames_length
     ctx = pipeline.core.text_context_length
     tmpl = jax.jit(
         lambda: pipeline.core.init(
@@ -122,7 +187,6 @@ def main(argv=None):
     params = jax.device_put(restored["params"])
     print("restored", args.run, args.ckpt)
 
-    text_true = np.asarray(d["text"][:G])
     variants = {
         "true": text_true,
         "sign_swap": swap_tokens(text_true, SIGN_SWAP),
@@ -161,47 +225,8 @@ def main(argv=None):
     print("(GT motion scale ~1.4e-3; an identical pair means captions "
           "don't steer generation)\n")
 
-    bank_np = np.asarray(jax.device_get(dev["bank"]))
-    host = {k: np.asarray(jax.device_get(v)) for k, v in d.items()
-            if k != "text"}
-    span = dd.IMAGE_SIZE - dd.DIGIT_SIZE  # valid top-left range [0, span]
-
-    K = args.frames
     for vi, (name, txt) in enumerate(variants.items()):
-        ok_axis = ok_sign = n = skipped = 0
-        for g in range(G):
-            dirs = clause_directions(txt[g])
-            for ci, (dkey, ykey, xkey) in enumerate(
-                (("d1", "ys1", "xs1"), ("d2", "ys2", "xs2"))
-            ):
-                want = dirs[ci]
-                if want is None:
-                    continue
-                y0 = int(host[ykey][g, 0])
-                x0 = int(host[xkey][g, 0])
-                if want[0] != 0:
-                    room = (span - y0) if want[0] > 0 else y0
-                else:
-                    room = (span - x0) if want[1] > 0 else x0
-                if room < args.min_room:
-                    skipped += 1
-                    continue
-                tmpl_d = bank_np[host[dkey][g]]
-                tr = track_digit(video[vi, g], tmpl_d)  # (L-1, 2)
-                dy = float(tr[K - 1, 0] - y0)
-                dx = float(tr[K - 1, 1] - x0)
-                axis_is_y = abs(dy) >= abs(dx)
-                want_y = want[0] != 0
-                ok_axis += int(axis_is_y == want_y)
-                comp = dy if want_y else dx
-                want_sign = want[0] if want_y else want[1]
-                ok_sign += int(axis_is_y == want_y
-                               and np.sign(comp) == want_sign)
-                n += 1
-        print(f"{name:9s}: axis agreement {ok_axis}/{n} "
-              f"({100*ok_axis/max(n,1):.0f}%), axis+sign agreement "
-              f"{ok_sign}/{n} ({100*ok_sign/max(n,1):.0f}%), "
-              f"{skipped} wall-blocked cases excluded")
+        score(name, txt, video[vi])
 
 
 if __name__ == "__main__":
