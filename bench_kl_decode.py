@@ -13,6 +13,14 @@ One JSON line per variant. Checksum-fetch timing minus median RTT
 (bench.py discipline). Env: BENCH_FRAMES (default 480, = batch 32 x 15
 generated), BENCH_DTYPE (bfloat16), BENCH_SWEEP ("phased:96,phased:160,
 naive:96"-style list; default a standard sweep).
+
+BENCH_MODE=convs isolates XLA's conv efficiency: a skeleton with exactly
+the decoder's conv3x3 / nin-1x1 / dilated-up-conv shapes and residual
+adds but NO GroupNorm/silu/attention. Against the 12.32 TFLOP chunk at
+the 331 TFLOP/s matmul peak (~37 ms/chunk floor; full decode measured
+~69 ms/chunk), this splits the gap into "conv lowering efficiency" vs
+"pointwise/GN overhead" — the decision input for a fused GN+silu+conv
+Pallas kernel vs a pointwise-fusion attack.
 """
 
 from __future__ import annotations
@@ -22,6 +30,39 @@ import os
 import time
 
 import numpy as np
+
+
+def _conv_skeleton():
+    """Decoder-shaped conv stack (no GN/silu/attn): conv_in + 2 mid res +
+    (3 res + up-conv) x levels [512, 512, 256] + 3 res at 128 + conv_out,
+    residual adds kept. Shapes match AutoencoderKL's 128px decoder exactly
+    (ch=128, ch_mult [1,2,4,4], num_res_blocks=2)."""
+    import flax.linen as nn
+
+    from mage_tpu.models.autoencoder_kl import _DilatedUpConv
+
+    class ConvStack(nn.Module):
+        @nn.compact
+        def __call__(self, z):
+            def res(h, cout, tag):
+                x = h
+                h = nn.Conv(cout, (3, 3), padding=1, name=f"{tag}_c1")(h)
+                h = nn.Conv(cout, (3, 3), padding=1, name=f"{tag}_c2")(h)
+                if x.shape[-1] != cout:
+                    x = nn.Conv(cout, (1, 1), name=f"{tag}_nin")(x)
+                return x + h
+
+            h = nn.Conv(512, (3, 3), padding=1, name="conv_in")(z)
+            for j in range(2):
+                h = res(h, 512, f"mid{j}")
+            for i, cout in ((3, 512), (2, 512), (1, 256), (0, 128)):
+                for j in range(3):
+                    h = res(h, cout, f"up{i}b{j}")
+                if i != 0:
+                    h = _DilatedUpConv(h.shape[-1], name=f"up{i}_conv")(h)
+            return nn.Conv(3, (3, 3), padding=1, name="conv_out")(h)
+
+    return ConvStack()
 
 
 def main():
@@ -46,6 +87,45 @@ def main():
         float(trivial(jnp.float32(i)))
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
+
+    if os.environ.get("BENCH_MODE") == "convs":
+        chunk = int(os.environ.get("MAGE_KL_FRAME_CHUNK", "96"))
+        model = _conv_skeleton()
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4), dtype)
+        )
+        if dtype != jnp.float32:
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                variables,
+            )
+        z = jnp.asarray(np.random.RandomState(0).randn(chunk, 16, 16, 4),
+                        dtype)
+
+        def chunk_checksum(v, z):
+            return jnp.sum(model.apply(v, z).astype(jnp.float32))
+
+        dec = jax.jit(chunk_checksum)
+        c0 = float(dec(variables, z))
+        assert np.isfinite(c0)
+        iters = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            float(dec(variables, z))
+            iters.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+        dt = float(np.mean(iters))
+        print(json.dumps({
+            "metric": "kl_decoder_convs_only_ms_per_chunk",
+            "value": round(dt * 1e3, 1), "unit": "ms",
+            "chunk_frames": chunk, "dtype": str(dtype),
+            "per_iter_ms": [round(t * 1e3, 1) for t in iters],
+            "frames_per_sec_equiv": round(chunk / dt, 1),
+            "rtt_ms": round(rtt * 1e3, 1),
+            "note": "decoder conv/residual shapes only, no GN/silu/attn; "
+                    "matmul-peak floor ~37 ms at chunk 96, full decode "
+                    "measured ~69 ms/chunk",
+        }), flush=True)
+        return
 
     # the reference MAGE+ ddconfig (config/mage+_caterv2.yaml:28-44)
     ddconfig = dict(
