@@ -146,6 +146,13 @@ def main():
     results = {}
     for variant in sweep.split(","):
         up, chunk = variant.split(":")
+        # "dilated+gnconv:96" additionally routes ResnetBlock chains
+        # through the fused GN+silu+conv Pallas kernel (ops/gn_conv.py)
+        if "+" in up:
+            up, fused = up.split("+")
+            os.environ["MAGE_KL_FUSED"] = fused
+        else:
+            os.environ.pop("MAGE_KL_FUSED", None)
         os.environ["MAGE_KL_UP"] = up
         os.environ["MAGE_KL_FRAME_CHUNK"] = chunk
 

@@ -50,20 +50,76 @@ class DiagonalGaussian:
         )
 
 
+class _GNParams(nn.Module):
+    """Parameter twin of ``nn.GroupNorm`` (same names/shapes/inits) for the
+    fused inference path — creating it under the same module name keeps the
+    checkpoint tree identical to the unfused chain."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return scale, bias
+
+
+class _ConvParams(nn.Module):
+    """Parameter twin of ``nn.Conv(features, (3, 3))`` (HWIO kernel)."""
+
+    in_ch: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
 class ResnetBlock(nn.Module):
     out_ch: int
     dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
-        h = nn.silu(h)
-        if self.dropout > 0:
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv2")(h)
+        # MAGE_KL_FUSED=gnconv routes both GN->silu->conv3x3 chains through
+        # the fused Pallas kernel (ops/gn_conv.py) at inference — the KL
+        # decoder is the MAGE+ generation bound (BENCH_NOTES.md). Same
+        # params either way (_GNParams/_ConvParams are name-compatible);
+        # init and training always take the unfused flax chain.
+        flag = os.environ.get("MAGE_KL_FUSED", "")
+        fused = (
+            not train
+            and not self.is_initializing()
+            and flag.startswith("gnconv")
+            and x.shape[-1] % 128 == 0
+            and self.out_ch % 128 == 0
+            and x.shape[1] % min(32, x.shape[1]) == 0
+        )
+        if fused:
+            from mage_tpu.ops.gn_conv import gn_silu_conv3x3
+
+            interpret = flag == "gnconv_interpret"
+            g1, b1 = _GNParams(x.shape[-1], name="norm1")()
+            k1, c1 = _ConvParams(x.shape[-1], self.out_ch, name="conv1")()
+            h = gn_silu_conv3x3(x, g1, b1, k1, c1, interpret=interpret)
+            g2, b2 = _GNParams(self.out_ch, name="norm2")()
+            k2, c2 = _ConvParams(self.out_ch, self.out_ch, name="conv2")()
+            h = gn_silu_conv3x3(h, g2, b2, k2, c2, interpret=interpret)
+        else:
+            h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
+            h = nn.silu(h)
+            h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv1")(h)
+            h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
+            h = nn.silu(h)
+            if self.dropout > 0:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1), name="nin_shortcut")(x)
         return x + h

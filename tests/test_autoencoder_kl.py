@@ -132,3 +132,40 @@ def test_phased_up_conv_matches_naive(monkeypatch):
         ),
         g_n, g_p,
     )
+
+
+def test_fused_gnconv_decoder_matches_unfused(monkeypatch):
+    """MAGE_KL_FUSED=gnconv routes every eligible ResnetBlock chain through
+    the fused Pallas kernel (interpret on CPU) with the SAME param tree;
+    the full decoder output must match the unfused flax chain."""
+    from mage_tpu.models.autoencoder_kl import Decoder
+
+    dec = Decoder(ch=128, ch_mult=[1, 2], num_res_blocks=1, out_ch=3,
+                  resolution=16)
+    z = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 4), jnp.float32)
+    monkeypatch.delenv("MAGE_KL_FUSED", raising=False)
+    variables = dec.init(jax.random.PRNGKey(0), z)
+    want = dec.apply(variables, z)
+    monkeypatch.setenv("MAGE_KL_FUSED", "gnconv_interpret")
+    import mage_tpu.ops.gn_conv as gc
+
+    calls = []
+    real = gc.gn_silu_conv3x3
+    monkeypatch.setattr(
+        gc, "gn_silu_conv3x3",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+    got = dec.apply(variables, z)
+    # ch_mult [1,2] at res 16: 2 mid + (2 levels x 2 blocks) = 6 res
+    # blocks, 2 fused chains each
+    assert len(calls) == 12, len(calls)
+    assert got.shape == want.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+    # init under the fused flag builds the identical param tree
+    variables_f = dec.init(jax.random.PRNGKey(0), z)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0),
+        variables, variables_f,
+    )
