@@ -250,6 +250,17 @@ class MAGECore(nn.Module):
     randomness: bool = False
     pre_ln: bool = False  # MAGE+ cross-attention variant (:92-93)
     remat: bool = False  # rematerialize axial blocks + the 3D-conv pyramid
+    # Opt-in (0 = reference-exact uniform loss, mage_model.py:618-620).
+    # Motion-weighted reconstruction: each target token's loss is scaled by
+    # 1 + motion_loss_weight * moved(token), normalized to mean 1 (so loss
+    # scale / LR / beta semantics are unchanged). ``moved`` = the token's
+    # latent changed from the previous frame (id inequality for discrete,
+    # normalized squared temporal diff for continuous). Counters the
+    # copy-frame equilibrium on mostly-static data: on stop-at-wall
+    # Modified-Double MNIST per-frame CE collapses to ~1e-8 after the
+    # digits stop, so the caption-direction signal is a sliver of the
+    # uniform loss (measured, ROUND_STATUS.md r3 item 3).
+    motion_loss_weight: float = 0.0
     # text encoder
     text_vocab_size: int = 30
     text_context_length: int = 32
@@ -462,14 +473,31 @@ class MAGECore(nn.Module):
         if self.use_cids:
             labels = latents[:, 1 : self.frames_length].astype(jnp.int32)
             logits = predict.reshape(-1, self.codebook_size).astype(jnp.float32)
-            recon = jnp.mean(
-                -jax.nn.log_softmax(logits)[
-                    jnp.arange(logits.shape[0]), labels.reshape(-1)
-                ]
-            )
+            tok_ce = -jax.nn.log_softmax(logits)[
+                jnp.arange(logits.shape[0]), labels.reshape(-1)
+            ]
+            if self.motion_loss_weight > 0:
+                prev = latents[:, : self.frames_length - 1].astype(jnp.int32)
+                moved = (labels != prev).astype(jnp.float32)
+                w = 1.0 + self.motion_loss_weight * moved
+                w = (w / jnp.mean(w)).reshape(-1)
+                recon = jnp.mean(tok_ce * w)
+            else:
+                recon = jnp.mean(tok_ce)
         else:
-            diff = predict.astype(jnp.float32) - latents[:, 1:].astype(jnp.float32)
-            recon = jnp.mean(diff**2)
+            target = latents[:, 1 : self.frames_length].astype(jnp.float32)
+            diff = predict.astype(jnp.float32) - target
+            if self.motion_loss_weight > 0:
+                prev = latents[:, : self.frames_length - 1].astype(jnp.float32)
+                # per-token motion energy; for sampled KL latents the
+                # posterior noise adds a uniform floor, which only softens
+                # the contrast (weights stay correctly ordered)
+                d2 = jnp.mean((target - prev) ** 2, axis=-1)
+                w = 1.0 + self.motion_loss_weight * d2 / (jnp.mean(d2) + 1e-8)
+                w = w / jnp.mean(w)
+                recon = jnp.mean(jnp.mean(diff**2, axis=-1) * w)
+            else:
+                recon = jnp.mean(diff**2)
 
         out = {"prediction": recon, "predict": predict}
         if self.randomness:

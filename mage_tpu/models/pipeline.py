@@ -149,6 +149,7 @@ class MagePipeline:
         v_kl: float = 0.0,
         auto_beta: bool = False,
         remat: bool = False,
+        motion_loss_weight: float = 0.0,
         first_stage_variables=None,
     ):
         self.use_cids = use_cids
@@ -209,6 +210,7 @@ class MagePipeline:
             use_cids=use_cids,
             randomness=randomness,
             remat=remat,
+            motion_loss_weight=motion_loss_weight,
             pre_ln=not use_cids,  # MAGE+ uses the pre-LN cross-attn variant
             text_vocab_size=te.get("vocab_size", 30),
             text_context_length=te.get("context_length", 32),

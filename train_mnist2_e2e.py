@@ -79,6 +79,11 @@ def parse_args(argv=None):
     p.add_argument("--eval-videos", type=int, default=64)
     p.add_argument("--gifs", type=int, default=6)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--motion-loss-weight", type=float, default=0.0,
+                   help="opt-in motion-weighted recon loss (MAGECore."
+                        "motion_loss_weight): upweights tokens whose ids "
+                        "change between frames; counters the copy-frame "
+                        "hedge on stop-at-wall data (0 = reference-exact)")
     p.add_argument("--tiny", action="store_true")
     return p.parse_args(argv)
 
@@ -265,6 +270,8 @@ def build_pipeline(args, fs_variables):
     cfg.model.params.frames_length = args.frames_length
     cfg.model.params.generate_decoder_config.params.frames_length = args.frames_length
     cfg.model.params.generate_decoder_config.params.out_channels = args.codebook
+    if args.motion_loss_weight:
+        cfg.model.params.motion_loss_weight = args.motion_loss_weight
     if args.tiny:
         cfg.model.params.vision_width = 64
         cfg.model.params.text_encoder_config.params.transformer_width = 64
