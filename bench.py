@@ -128,7 +128,8 @@ def main():
         k: os.environ[k]
         for k in (
             "MAGE_SPATIAL_ATTN", "MAGE_CACHED_ATTN", "MAGE_ATTN_TILE",
-            "MAGE_KL_FRAME_CHUNK", "MAGE_KL_UP", "MAGE_BLOCK_TILE",
+            "MAGE_KL_FRAME_CHUNK", "MAGE_KL_UP", "MAGE_KL_FUSED",
+            "MAGE_BLOCK_TILE",
         )
         if k in os.environ
     }
