@@ -121,6 +121,15 @@ class I3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        valid = ("logits", "Mixed_3c", "Mixed_4f")
+        if self.endpoint not in valid:
+            # an unknown endpoint must not silently fall through to logits:
+            # with random weights that is exactly the mean-field-collapsed
+            # feature the endpoint option exists to avoid (FVD ~0 for
+            # everything, no error)
+            raise ValueError(f"unknown I3D endpoint {self.endpoint!r}; "
+                             f"expected one of {valid}")
+
         def done(name):
             return self.endpoint == name
 

@@ -249,6 +249,9 @@ class _Up(nn.Module):
             return _PhasedUpConv(c, name="conv")(x)
         if variant == "dilated":
             return _DilatedUpConv(c, name="conv")(x)
+        if variant != "naive":
+            raise ValueError(f"unknown MAGE_KL_UP={variant!r}; expected "
+                             "'dilated', 'phased', or 'naive'")
         x = jnp.broadcast_to(
             x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
         ).reshape(b, 2 * h, 2 * w, c)

@@ -411,21 +411,24 @@ class MAGECore(nn.Module):
             anchor = anchor + speed_emb[:, None, None, :]
         return anchor
 
-    def video_posterior(self, x_emb: jax.Array):
+    def video_posterior(self, x_emb: jax.Array, train: bool = False):
         """3D-conv pyramid over the full embedded video -> (mu, logvar)
         (reference :600-603). (B, L, h, w, C) -> two (B, h, w, 64).
+
+        ``train`` reaches the BasicBlock3D spectral-norm power iteration
+        (it only updates its persistent ``u`` on training calls).
 
         Under ``remat`` each BasicBlock3D is checkpointed: the pyramid's
         3x3x3x512ch activations over the full video dominate training
         memory (its FLOPs dominate the whole step — see BENCH_NOTES.md)."""
         h = x_emb
         if self.remat:
-            run = nn.remat(lambda blk, y: blk(y))
+            run = nn.remat(lambda blk, y: blk(y, train))
             for block in self.conv3d:
                 h = run(block, h)
         else:
             for block in self.conv3d:
-                h = block(h)
+                h = block(h, train=train)
         h = h.squeeze(1)  # T collapsed to 1
         return self.conv_mu2(h), self.conv_var2(h)
 
@@ -455,7 +458,7 @@ class MAGECore(nn.Module):
         video_emb = None
         mu = logvar = None
         if self.randomness:
-            mu, logvar = self.video_posterior(x_emb)
+            mu, logvar = self.video_posterior(x_emb, train=train)
             eps = jax.random.normal(self.make_rng("latent"), logvar.shape, logvar.dtype)
             video_emb = mu + eps * jnp.exp(0.5 * logvar)
             if test_flag:  # prior sampling at test (reference :604-605)

@@ -35,7 +35,7 @@ from mage_tpu.models.pipeline import MagePipeline
 from mage_tpu.parallel import make_mesh, replicated_sharding, shard_batch
 from mage_tpu.training.checkpoint import Checkpointer
 from mage_tpu.training.lr import epoch_lr
-from mage_tpu.training.pid import PIDControl, initial_pid_state
+from mage_tpu.training.pid import initial_pid_state
 from mage_tpu.utils import MetricsWriter, Timer
 
 
@@ -179,9 +179,9 @@ class MageTrainer:
             pipeline.first_stage.variables, replicated_sharding(self.mesh)
         )
         # auto-beta: the PID runs in-step (see make_mage_train_step);
-        # the trainer carries the controller state [i_k1, w_k1, e_k1] and
-        # mirrors the latest beta on the host for eval/logging/resume
-        self.pid = PIDControl() if pipeline.auto_beta else None
+        # the trainer carries only the controller state [i_k1, w_k1, e_k1]
+        # and mirrors the latest beta on the host for eval/logging/resume
+        # (PIDControl, the host-side twin, lives on for tests/host loops)
         self.pid_state = initial_pid_state() if pipeline.auto_beta else None
         self.beta = pipeline.beta if not pipeline.auto_beta else 0.0
         self.iteration = 0
@@ -223,12 +223,10 @@ class MageTrainer:
                 host = json.load(fp)
             self.best_loss = host.get("best_loss", self.best_loss)
             self.beta = host.get("beta", self.beta)
-            if self.pid is not None and "pid" in host:
-                self.pid.i_k1 = host["pid"]["i_k1"]
-                self.pid.w_k1 = host["pid"]["w_k1"]
-                self.pid.e_k1 = host["pid"]["e_k1"]
+            if self.pid_state is not None and "pid" in host:
                 self.pid_state = jnp.asarray(
-                    [self.pid.i_k1, self.pid.w_k1, self.pid.e_k1], jnp.float32
+                    [host["pid"]["i_k1"], host["pid"]["w_k1"],
+                     host["pid"]["e_k1"]], jnp.float32
                 )
 
     def _save_host_state(self) -> None:

@@ -114,19 +114,27 @@ def make_restart_dead_codes(model: VectorQuantizedVAE):
 
     @jax.jit
     def restart(state: VQVAETrainState, images, rng):
+        from mage_tpu.ops.vq import nearest_codebook_indices
+
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        # encoder features at the pre-VQ point: run the full forward and
-        # take z_e; ids via encode (both jitted into one program)
+        # encoder features at the pre-VQ point: ONE train-mode forward, and
+        # ids derived from that same z_e. (An earlier version took ids from
+        # an eval-mode ``encode`` pass: its BatchNorm running averages —
+        # uncalibrated early in training, CLAUDE.md "Debugging lessons" —
+        # can select a different code subset than the train-mode features
+        # actually hitting the codebook, mis-marking live codes as dead and
+        # repeatedly re-seeding them.)
         _, z_e, _ = model.apply(variables, images, train=True,
                                 mutable=["batch_stats"])[0]
-        ids = model.apply(variables, images, method="encode", mutable=False)
         codebook = state.params["codebook"]
         k, d = codebook.shape
+        ids = nearest_codebook_indices(z_e.reshape(-1, d), codebook)
         counts = jnp.zeros((k,), jnp.int32).at[ids.reshape(-1)].add(1)
         dead = counts == 0
         feats = z_e.reshape(-1, d)
-        pick = jax.random.randint(rng, (k,), 0, feats.shape[0])
-        noise = 0.01 * jax.random.normal(rng, (k, d), codebook.dtype)
+        rng_pick, rng_noise = jax.random.split(rng)
+        pick = jax.random.randint(rng_pick, (k,), 0, feats.shape[0])
+        noise = 0.01 * jax.random.normal(rng_noise, (k, d), codebook.dtype)
         seeds = feats[pick].astype(codebook.dtype) + noise
         new_codebook = jnp.where(dead[:, None], seeds, codebook)
         params = dict(state.params, codebook=new_codebook)

@@ -406,6 +406,10 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
             start_epoch = args.resume_epoch
         params = jax.device_put(restored["params"])
         step = jax.device_put(restored["step"])
+        # fold the resume point into the RNG stream: without this the
+        # resumed run replays the original run's exact batch/speed/noise
+        # key sequence from epoch 0
+        rng = jax.random.fold_in(rng, start_epoch)
         print(f"resumed stage 2 at epoch {start_epoch} "
               f"(step {int(jax.device_get(step))})")
     t0 = time.time()
@@ -445,20 +449,18 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
 
 def track_digit(video: np.ndarray, template: np.ndarray) -> np.ndarray:
     """Template-match one digit through a (L, 64, 64) video -> (L, 2) int
-    (y, x) positions. Zero-mean cross-correlation over all 37x37 valid
-    placements; the exact digit instance is known, so matched filtering is
-    reliable even with a same-looking distractor nearby."""
+    (y, x) positions. Zero-mean cross-correlation (a plain matched filter
+    via einsum over strided windows) over all 37x37 valid placements; the
+    exact digit instance is known, so matched filtering is reliable even
+    with a same-looking distractor nearby."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
     tm = template - template.mean()
     L = video.shape[0]
-    hh = dd.IMAGE_SIZE - dd.DIGIT_SIZE + 1
     pos = np.zeros((L, 2), np.int32)
-    # windowed sums via integral images keep this O(L * 37^2 * 28^2) small
     for t in range(L):
         frame = video[t]
-        best, by, bx = -1e9, 0, 0
         # stride the frame into (37, 37, 28, 28) windows without copying
-        from numpy.lib.stride_tricks import sliding_window_view
-
         wins = sliding_window_view(frame, (dd.DIGIT_SIZE, dd.DIGIT_SIZE))
         score = np.einsum("yxhw,hw->yx", wins, tm, optimize=True)
         iy, ix = np.unravel_index(np.argmax(score), score.shape)
