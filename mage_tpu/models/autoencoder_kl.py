@@ -93,13 +93,18 @@ class ResnetBlock(nn.Module):
         # params either way (_GNParams/_ConvParams are name-compatible);
         # init and training always take the unfused flax chain.
         flag = os.environ.get("MAGE_KL_FUSED", "")
+        # MAGE_KL_FUSED_TILE caps the kernel's row tile (default 32):
+        # the worst decoder level (512ch @ 32x32, frame-chunked batch)
+        # sits near the ~16 MB/core VMEM budget — halve the tile if the
+        # chip reports a VMEM OOM rather than editing code.
+        tile = int(os.environ.get("MAGE_KL_FUSED_TILE", "32"))
         fused = (
             not train
             and not self.is_initializing()
             and flag.startswith("gnconv")
             and x.shape[-1] % 128 == 0
             and self.out_ch % 128 == 0
-            and x.shape[1] % min(32, x.shape[1]) == 0
+            and x.shape[1] % min(tile, x.shape[1]) == 0
         )
         if fused:
             from mage_tpu.ops.gn_conv import gn_silu_conv3x3
@@ -107,10 +112,12 @@ class ResnetBlock(nn.Module):
             interpret = flag == "gnconv_interpret"
             g1, b1 = _GNParams(x.shape[-1], name="norm1")()
             k1, c1 = _ConvParams(x.shape[-1], self.out_ch, name="conv1")()
-            h = gn_silu_conv3x3(x, g1, b1, k1, c1, interpret=interpret)
+            h = gn_silu_conv3x3(x, g1, b1, k1, c1, row_tile=tile,
+                                interpret=interpret)
             g2, b2 = _GNParams(self.out_ch, name="norm2")()
             k2, c2 = _ConvParams(self.out_ch, self.out_ch, name="conv2")()
-            h = gn_silu_conv3x3(h, g2, b2, k2, c2, interpret=interpret)
+            h = gn_silu_conv3x3(h, g2, b2, k2, c2, row_tile=tile,
+                                interpret=interpret)
         else:
             h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
             h = nn.silu(h)
