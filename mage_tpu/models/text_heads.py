@@ -64,10 +64,15 @@ class BertTextualHead(nn.Module):
 
 def load_pretrained_bert_params(bert_path: str) -> Mapping[str, Any]:
     """Load local pretrained BERT weights as a flax param tree suitable for
-    grafting under ``params['text_encoder']['bert']``. Requires the
-    pretrained files on disk (this image has none — the reference downloads
-    ``bert_path`` from the hub at :136-139)."""
+    grafting under ``params['text_encoder']['bert']``. Accepts either a
+    flax checkpoint or a torch one (``pytorch_model.bin`` / torch
+    safetensors) — the reference downloads the torch ``bert-base-uncased``
+    from the hub (modules/mage_model.py:136-139), so a user migrating from
+    it will typically have torch weights on disk."""
     from transformers import FlaxBertModel
 
-    model = FlaxBertModel.from_pretrained(bert_path)
+    try:
+        model = FlaxBertModel.from_pretrained(bert_path)
+    except (OSError, EnvironmentError):
+        model = FlaxBertModel.from_pretrained(bert_path, from_pt=True)
     return model.params

@@ -341,3 +341,45 @@ def test_bert_pretrained_weight_path_round_trip(tmp_path):
         grafted["text_projection_key"]
     )
     np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
+
+
+def test_bert_pretrained_torch_checkpoint(tmp_path):
+    """load_pretrained_bert_params on a TORCH checkpoint — the actual
+    format a reference user has on disk (the reference pulls the torch
+    bert-base-uncased from the hub, modules/mage_model.py:136-139). Save a
+    tiny torch BertModel, load it through the flax fallback, and pin the
+    hidden states against the torch forward."""
+    import numpy as np
+    import torch
+    from transformers import BertConfig, BertModel
+
+    from mage_tpu.models.text_heads import (
+        BertTextualHead,
+        load_pretrained_bert_params,
+    )
+
+    cfg = BertConfig(
+        vocab_size=30, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=16, pad_token_id=0,
+    )
+    torch.manual_seed(3)
+    src = BertModel(cfg).eval()
+    src.save_pretrained(tmp_path / "tiny_bert_pt", safe_serialization=False)
+    assert (tmp_path / "tiny_bert_pt" / "pytorch_model.bin").exists()
+
+    pretrained = load_pretrained_bert_params(str(tmp_path / "tiny_bert_pt"))
+
+    head = BertTextualHead(out_dim=24, bert_path=str(tmp_path / "tiny_bert_pt"))
+    text = jnp.zeros((2, 10), jnp.int32).at[:, 0].set(1).at[:, 1:6].set(7)
+    variables = head.init(jax.random.PRNGKey(0), text, train=False)
+    grafted = dict(variables["params"], bert=pretrained)
+    out = head.apply({"params": grafted}, text, train=False)
+
+    with torch.no_grad():
+        t_hidden = src(
+            torch.from_numpy(np.array(text)).long(),
+            attention_mask=torch.from_numpy(np.array(text != 0)).long(),
+        ).last_hidden_state.numpy()
+    expect = t_hidden @ np.asarray(grafted["text_projection_key"])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
