@@ -129,7 +129,7 @@ def main():
         for k in (
             "MAGE_SPATIAL_ATTN", "MAGE_CACHED_ATTN", "MAGE_ATTN_TILE",
             "MAGE_KL_FRAME_CHUNK", "MAGE_KL_UP", "MAGE_KL_FUSED",
-            "MAGE_BLOCK_TILE",
+            "MAGE_BLOCK_TILE", "MAGE_KV_QUANT", "MAGE_KL_FUSED_TILE",
         )
         if k in os.environ
     }

@@ -295,6 +295,54 @@ class AxialAttentionBlock(nn.Module):
         seq = seq + self.mlp(self.ln_2(seq))
         return seq.reshape(b, hgt, wdt, c), cache_k, cache_v
 
+    def incremental_temporal_quant(
+        self,
+        x_slot: jax.Array,  # (B, H, W, C)
+        cache_k: jax.Array,  # (L, B*H*W, C) int8/int4 codes
+        cache_v: jax.Array,
+        scale_k: jax.Array,  # (L, n_head) f32
+        scale_v: jax.Array,
+        pos: jax.Array,
+    ):
+        """``incremental_temporal`` over a quantized KV cache
+        (MAGE_KV_QUANT=int8|int4): the new slot's K/V are quantized
+        per-head on write and the dequant scales are folded into the
+        attention scores/weights (ops/cached_attention.py::
+        cached_slot_attention_quant) — int8 halves (int4 quarters) the
+        decode step's dominant HBM stream. Returns
+        (y_slot, cache_k, cache_v, scale_k, scale_v)."""
+        from mage_tpu.ops.cached_attention import (
+            cached_slot_attention_quant,
+            quantize_kv_slot,
+        )
+
+        b, hgt, wdt, c = x_slot.shape
+        n = b * hgt * wdt
+        bits = 8 if cache_k.dtype == jnp.int8 else 4
+        seq = x_slot.reshape(n, 1, c)
+        h = self.ln_1(seq)
+        qh = self.attn.q_proj(h)
+        kh, vh = self.attn.project_kv(h)
+        kq, ks = quantize_kv_slot(kh.reshape(n, c), self.n_head, bits)
+        vq, vs = quantize_kv_slot(vh.reshape(n, c), self.n_head, bits)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(
+            cache_k, kq.reshape(1, n, c), pos, axis=0
+        )
+        cache_v = jax.lax.dynamic_update_slice_in_dim(
+            cache_v, vq.reshape(1, n, c), pos, axis=0
+        )
+        scale_k = jax.lax.dynamic_update_slice_in_dim(scale_k, ks, pos, axis=0)
+        scale_v = jax.lax.dynamic_update_slice_in_dim(scale_v, vs, pos, axis=0)
+        attn2d = cached_slot_attention_quant(
+            qh.reshape(n, c), cache_k, cache_v, scale_k, scale_v, pos,
+            self.n_head,
+        )
+        hd = c // self.n_head
+        attn_out = self.attn.out_proj(attn2d.reshape(n, 1, self.n_head, hd))
+        seq = seq + attn_out
+        seq = seq + self.mlp(self.ln_2(seq))
+        return seq.reshape(b, hgt, wdt, c), cache_k, cache_v, scale_k, scale_v
+
     def single_slot_spatial(self, x_slot: jax.Array, train: bool = False):
         """Run this H- or W-axis block on one temporal slot (B, H, W, C)."""
         return self(x_slot[:, None], attn_bias=None, train=train)[:, 0]

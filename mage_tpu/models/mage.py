@@ -170,8 +170,35 @@ class FlatAxialDecoder(nn.Module):
         """Empty per-temporal-layer KV caches (time-major FLAT layout: see
         AxialAttentionBlock.incremental_temporal): the GroupNorm in the head
         and H/W layers are per-slot, so only T-layers (i % 3 == 0) need
-        state."""
+        state.
+
+        MAGE_KV_QUANT=int8|int4 (opt-in, default off = reference-exact
+        numerics) stores the caches as quantized codes + per-(slot, head)
+        f32 scales — entries become 4-tuples (k, v, scale_k, scale_v) and
+        decode_slot routes through incremental_temporal_quant. int8 halves
+        (int4 quarters) the decode step's dominant HBM stream (the
+        full-cache read per temporal layer, BENCH_NOTES.md)."""
+        import os
+
+        quant = os.environ.get("MAGE_KV_QUANT", "")
+        if quant not in ("", "none", "int8", "int4"):
+            raise ValueError(
+                f"MAGE_KV_QUANT must be int8|int4|none, got {quant!r}"
+            )
         shape = (self.frames_length, batch * h * w, self.model_channels)
+        if quant in ("int8", "int4"):
+            qdtype = jnp.int8 if quant == "int8" else jnp.int4
+            sshape = (self.frames_length, self.model_channels // 32)
+            return {
+                f"layer_{i}": (
+                    jnp.zeros(shape, qdtype),
+                    jnp.zeros(shape, qdtype),
+                    jnp.zeros(sshape, jnp.float32),
+                    jnp.zeros(sshape, jnp.float32),
+                )
+                for i in range(self.layers)
+                if i % 3 == 0
+            }
         return {
             f"layer_{i}": (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for i in range(self.layers)
@@ -192,9 +219,16 @@ class FlatAxialDecoder(nn.Module):
         new_cache = dict(cache)
         for i, block in enumerate(self.blocks):
             if i % 3 == 0:
-                k, v = new_cache[f"layer_{i}"]
-                x, k, v = block.incremental_temporal(x, k, v, pos)
-                new_cache[f"layer_{i}"] = (k, v)
+                entry = new_cache[f"layer_{i}"]
+                if len(entry) == 4:  # quantized cache (MAGE_KV_QUANT)
+                    x, *entry = block.incremental_temporal_quant(
+                        x, *entry, pos
+                    )
+                    new_cache[f"layer_{i}"] = tuple(entry)
+                else:
+                    k, v = entry
+                    x, k, v = block.incremental_temporal(x, k, v, pos)
+                    new_cache[f"layer_{i}"] = (k, v)
             else:
                 x = block.single_slot_spatial(x, train=False)
         return x, new_cache

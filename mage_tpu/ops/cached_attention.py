@@ -213,6 +213,65 @@ def _sharded_attn(n_head: int, version: int, interpret: bool):
     return attn
 
 
+# ---- quantized KV cache (opt-in; MAGE_KV_QUANT in the sampler) ---------
+
+def quantize_kv_slot(x: jax.Array, n_head: int, bits: int = 8):
+    """Symmetric per-head quantization of ONE new cache slot.
+
+    x (N, D) bf16/f32 -> (codes (N, D) int8|int4, scale (1, n_head) f32).
+    The decode step's dominant HBM traffic is streaming the whole (L, N, D)
+    K+V cache per temporal layer (BENCH_NOTES.md AR-core decomposition:
+    ~0.34 ms/call for 268 MB bf16 — already at HBM speed-of-light), so
+    shrinking the stored bytes is the only remaining lever. Per-head,
+    per-slot scales cost (L, H) f32 — nothing — and are applied to the
+    (N, H, L) scores/weights AFTER the dots (see
+    cached_slot_attention_quant), so the attention inner loops keep the
+    flat unpadded (…, D) layout."""
+    n, d = x.shape
+    hd = d // n_head
+    qmax = float(2 ** (bits - 1) - 1)
+    xf = x.astype(jnp.float32).reshape(n, n_head, hd)
+    amax = jnp.max(jnp.abs(xf), axis=(0, 2))  # (H,)
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    codes = jnp.clip(jnp.round(xf / scale[None, :, None]), -qmax, qmax)
+    dtype = jnp.int8 if bits == 8 else jnp.int4
+    return codes.reshape(n, d).astype(dtype), scale[None, :]
+
+
+def cached_slot_attention_quant(
+    q: jax.Array,  # (N, D) — the new slot's queries, heads merged
+    cache_k: jax.Array,  # (L, N, D) int8/int4 codes
+    cache_v: jax.Array,
+    scale_k: jax.Array,  # (L, n_head) f32 per-slot-per-head scales
+    scale_v: jax.Array,
+    pos: jax.Array,
+    n_head: int,
+) -> jax.Array:
+    """``cached_slot_attention`` over a quantized cache — same math with
+    the dequantization scales folded into the scores (K) and the softmax
+    weights (V): scores[n,h,l] *= scale_k[l,h] before softmax and
+    w[n,h,l] *= scale_v[l,h] before the value sum, which is exact for
+    per-(slot, head)-constant scales."""
+    n, d = q.shape
+    length = cache_k.shape[0]
+    hd = d // n_head
+    bias = jnp.where(
+        jnp.arange(length)[None, :] <= pos, 0.0, NEG_INF
+    ).astype(jnp.float32)
+    qh = q.reshape(n, n_head, hd)
+    kh = cache_k.reshape(length, n, n_head, hd).astype(q.dtype)
+    vh = cache_v.reshape(length, n, n_head, hd).astype(q.dtype)
+    scores = jnp.einsum("nhd,knhd->nhk", qh, kh) / jnp.sqrt(
+        jnp.asarray(hd, q.dtype)
+    )
+    scores = scores * scale_k.T[None].astype(scores.dtype)  # (1, H, L)
+    scores = scores + bias.reshape(1, 1, length).astype(scores.dtype)
+    w = jax.nn.softmax(scores, axis=-1)
+    w = w * scale_v.T[None].astype(w.dtype)
+    out = jnp.einsum("nhk,knhd->nhd", w, vh)
+    return out.reshape(n, d)
+
+
 def _attn_xla(q, cache_k, cache_v, bias, n_head):
     """Exact reference attention math on the flat layout."""
     n, d = q.shape
