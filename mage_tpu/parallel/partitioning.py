@@ -1,4 +1,4 @@
-"""Tensor-parallel parameter partitioning (GSPMD).
+"""Tensor-parallel + FSDP parameter partitioning (GSPMD).
 
 The reference has no tensor parallelism (SURVEY.md §2.7) — at d_model=512
 none is needed for parity. This module adds it the TPU way regardless: the
@@ -9,6 +9,21 @@ XLA/GSPMD inserts the all-reduces over ICI; no model code changes.
 
 Works with any mesh that has a ``model`` axis, composing with the ``data``
 axis (DP x TP).
+
+FSDP (ZeRO-3-style) composes the same way: pass ``fsdp_axis="data"`` to
+``shard_params`` and every large parameter additionally shards one
+remaining dimension over the data axis. Params and Adam moments then live
+sharded across the data group (per-chip param+opt memory drops by the
+axis size); GSPMD inserts the forward/backward all-gathers and turns the
+gradient all-reduce into a reduce-scatter over ICI. Small tensors
+(< ``FSDP_MIN_SIZE`` elements: biases, LN scales, small embeddings) stay
+replicated — gathering them would cost more latency than the bytes saved.
+
+Parallelism axes deliberately NOT implemented (not omissions):
+pipeline parallelism (the flagship stack is 6 axial layers / ~60 M params —
+activations dominate; DPxTPxFSDP covers every memory/throughput regime the
+recipe can reach) and expert parallelism (no MoE anywhere in the reference
+model family).
 
 Deliberately replicated under the ``model`` axis (not an omission):
 
@@ -56,11 +71,40 @@ def param_spec(path: str, value: Any, model_axis: str = "model") -> P:
     return P()
 
 
-def shard_params(params: Any, mesh: Mesh, model_axis: str = "model") -> Any:
+# FSDP shards only params with at least this many elements; smaller ones
+# (biases, LN scales) replicate — the all-gather latency beats the bytes.
+FSDP_MIN_SIZE = 2 ** 15
+
+
+def fsdp_extend_spec(spec: P, value: Any, data_axis_size: int,
+                     data_axis: str = "data",
+                     min_size: int | None = None) -> P:
+    """Extend a (possibly empty) TP spec with a data-axis shard on the
+    largest still-free, divisible dimension. Returns ``spec`` unchanged if
+    the param is small or no dimension divides."""
+    ndim = getattr(value, "ndim", 0)
+    size = getattr(value, "size", 0)
+    if min_size is None:
+        min_size = FSDP_MIN_SIZE
+    if ndim < 1 or size < min_size or data_axis_size <= 1:
+        return spec
+    full = list(spec) + [None] * (ndim - len(spec))
+    for dim in sorted(range(ndim), key=lambda d: -value.shape[d]):
+        if full[dim] is None and value.shape[dim] % data_axis_size == 0:
+            full[dim] = data_axis
+            return P(*full)
+    return spec
+
+
+def shard_params(params: Any, mesh: Mesh, model_axis: str = "model",
+                 fsdp_axis: str | None = None,
+                 fsdp_min_size: int | None = None) -> Any:
     """Place a param tree on ``mesh`` with TP shardings (replicated over
     every other axis). Divisibility-guarded: any dim not divisible by the
-    axis size falls back to replication."""
+    axis size falls back to replication. With ``fsdp_axis`` set, large
+    params additionally shard one free dimension over that axis (ZeRO-3)."""
     axis_size = mesh.shape.get(model_axis, 1)
+    fsdp_size = mesh.shape.get(fsdp_axis, 1) if fsdp_axis else 1
 
     def _place(path, x):
         spec = param_spec(jax.tree_util.keystr(path), x, model_axis)
@@ -69,6 +113,11 @@ def shard_params(params: Any, mesh: Mesh, model_axis: str = "model") -> Any:
                 if name == model_axis and x.shape[dim] % axis_size:
                     spec = P()
                     break
+        elif axis_size <= 1:
+            spec = P()  # no model axis on this mesh: TP spec is vacuous
+        if fsdp_axis is not None:
+            spec = fsdp_extend_spec(spec, x, fsdp_size, fsdp_axis,
+                                    min_size=fsdp_min_size)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(_place, params)

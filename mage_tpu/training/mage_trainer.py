@@ -187,16 +187,27 @@ class MageTrainer:
         self.iteration = 0
         self.best_loss = float("inf")
 
-    def init_state(self, sample_batch) -> MageTrainState:
-        params = self.pipeline.init(jax.random.PRNGKey(self.seed), sample_batch)
-        if self.mesh.shape.get("model", 1) > 1:
-            # tensor parallelism: Megatron-style column/row placement; the
-            # optimizer state inherits the shardings through the jitted init
+    def _place_params(self, params):
+        """Parameter placement policy: TP (Megatron column/row) when the
+        mesh has a model axis, optionally composed with FSDP over the data
+        axis (``train.fsdp: true`` — ZeRO-3 param+opt sharding); replicated
+        otherwise. The optimizer state inherits the shardings through the
+        jitted init, so Adam moments are sharded exactly like their params."""
+        fsdp = bool(self.cfg.get("fsdp", False))
+        if self.mesh.shape.get("model", 1) > 1 or (
+            fsdp and self.mesh.shape.get("data", 1) > 1
+        ):
             from mage_tpu.parallel.partitioning import shard_params
 
-            params = shard_params(params, self.mesh)
-        else:
-            params = jax.device_put(params, replicated_sharding(self.mesh))
+            return shard_params(
+                params, self.mesh, fsdp_axis="data" if fsdp else None,
+                fsdp_min_size=self.cfg.get("fsdp_min_size", None),
+            )
+        return jax.device_put(params, replicated_sharding(self.mesh))
+
+    def init_state(self, sample_batch) -> MageTrainState:
+        params = self.pipeline.init(jax.random.PRNGKey(self.seed), sample_batch)
+        params = self._place_params(params)
         opt_state = jax.jit(self.tx.init)(params)
         state = MageTrainState(
             step=jax.device_put(
@@ -213,7 +224,10 @@ class MageTrainer:
     def resume(self, name_or_path: str) -> None:
         assert self.state is not None
         restored = self.ckpt.restore(name_or_path, self.state)
-        self.state = jax.device_put(restored, replicated_sharding(self.mesh))
+        # re-place with the live state's shardings (TP/FSDP placements
+        # survive a resume; a bare device_put to replicated would undo them)
+        shardings = jax.tree_util.tree_map(lambda x: x.sharding, self.state)
+        self.state = jax.device_put(restored, shardings)
         self.iteration = int(self.state.step)
         # host-side state (PID controller, beta, best loss) travels in a
         # sidecar json so auto-beta resumes where it left off

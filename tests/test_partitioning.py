@@ -89,6 +89,87 @@ def test_first_stage_replicated_under_tp(mesh8=None):
         assert not any(spec), (jax.tree_util.keystr(path), spec)
 
 
+def test_fsdp_spec_rules():
+    """FSDP extends TP specs on the largest free divisible dim; small
+    tensors and non-divisible shapes stay as-is."""
+    from mage_tpu.parallel.partitioning import fsdp_extend_spec, FSDP_MIN_SIZE
+
+    big = jnp.zeros((512, 256))  # 131k elements, plain kernel
+    assert fsdp_extend_spec(P(), big, 4) == P("data", None)
+    # TP column spec on axis 1: FSDP takes the remaining (largest free) axis
+    qkv = jnp.zeros((512, 8, 64))
+    assert fsdp_extend_spec(P(None, "model", None), qkv, 4) == P(
+        "data", "model", None
+    )
+    small = jnp.zeros((64,))
+    assert fsdp_extend_spec(P(), small, 4) == P()
+    odd = jnp.zeros((513, 255))
+    assert odd.size >= FSDP_MIN_SIZE
+    assert fsdp_extend_spec(P(), odd, 4) == P()
+
+
+def test_fsdp_train_step_matches_replicated(mesh8):
+    """ZeRO-3: with ``fsdp: true`` large params and Adam moments live
+    data-sharded, and one train step is numerically identical to the
+    replicated run (GSPMD placement must not change the math)."""
+    from __graft_entry__ import _tiny_pipeline, _batch
+    from mage_tpu.config import loads_config
+    from mage_tpu.training.mage_trainer import MageTrainer
+    import tempfile
+
+    pipeline = _tiny_pipeline()
+    batch = _batch(pipeline, batch_size=8, height=32, width_px=32, channels=1)
+    losses, sharded_leaf_counts = [], []
+    for fsdp in (False, True):
+        cfg = loads_config(
+            "epoch: 1\nbatchsize: 8\nlr: 1e-3\ncheckpoint_every: 10\n"
+            f"fsdp: {str(fsdp).lower()}"
+        )
+        with tempfile.TemporaryDirectory() as td:
+            trainer = MageTrainer(pipeline, cfg, td, mesh=mesh8, seed=0)
+            trainer.init_state(batch)
+            n_sharded = sum(
+                1
+                for x in jax.tree_util.tree_leaves(trainer.state.params)
+                if any(x.sharding.spec)
+            )
+            sharded_leaf_counts.append(n_sharded)
+            state, terms = trainer.train_step(
+                trainer.state, trainer.fs_vars, trainer._prep(batch), 1e-3,
+                trainer.beta, pipeline.alpha, jax.random.PRNGKey(0),
+            )
+            losses.append(float(terms["final_loss"]))
+            if fsdp:
+                # updated params AND Adam moments keep the data sharding
+                out_specs = [
+                    str(x.sharding.spec)
+                    for x in jax.tree_util.tree_leaves(state.params)
+                ] + [
+                    str(x.sharding.spec)
+                    for x in jax.tree_util.tree_leaves(state.opt_state)
+                ]
+                assert any("data" in s for s in out_specs)
+    assert sharded_leaf_counts[0] == 0 and sharded_leaf_counts[1] > 0
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+def test_fsdp_composes_with_tp():
+    """DP(FSDP) x TP on a 4x2 mesh: a QKV kernel carries both axes."""
+    from mage_tpu.parallel.partitioning import shard_params
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    params = {
+        "attn": {"q_proj": {"kernel": jnp.zeros((512, 2, 64))}},
+        "plain": {"kernel": jnp.zeros((512, 256))},
+        "bias": {"b": jnp.zeros((512,))},
+    }
+    placed = shard_params(params, mesh, fsdp_axis="data")
+    q = placed["attn"]["q_proj"]["kernel"].sharding.spec
+    assert q == P("data", "model", None)
+    assert placed["plain"]["kernel"].sharding.spec == P("data", None)
+    assert not any(placed["bias"]["b"].sharding.spec)
+
+
 def test_sharded_generation_matches_single_device(mesh8):
     """Batch-parallel AR generation: the cached sampler under a data-sharded
     batch (params replicated over the mesh) produces exactly the ids of the
