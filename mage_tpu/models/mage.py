@@ -295,6 +295,16 @@ class MAGECore(nn.Module):
     # digits stop, so the caption-direction signal is a sliver of the
     # uniform loss (measured, ROUND_STATUS.md r3 item 3).
     motion_loss_weight: float = 0.0
+    # Opt-in (0 = reference-exact). Early-frame upweighting: the first
+    # ``early_loss_frames`` PREDICTED frames get weight scaled by
+    # (1 + early_loss_weight), normalized to mean 1. Targets initial-
+    # direction sign binding: the caption's sign bit only constrains the
+    # first few predictions (after that, position + physics determine the
+    # continuation), so under a uniform loss it is a sliver of the total —
+    # measured 65-73% sign-given-axis after 201 epochs on Single Moving
+    # MNIST vs a 100% ceiling (docs/results/direction_binding_single.md).
+    early_loss_weight: float = 0.0
+    early_loss_frames: int = 3
     # text encoder
     text_vocab_size: int = 30
     text_context_length: int = 32
@@ -424,6 +434,16 @@ class MAGECore(nn.Module):
         out = self.conv(x_emb.reshape(b * l, h, w, c)).reshape(b, l, h, w, c)
         return out + self.H_positional_embedding + self.W_positional_embedding
 
+    def _early_frame_weight(self, n_frames: int) -> jax.Array:
+        """(1, n_frames, 1, 1) per-frame loss multiplier: the first
+        ``early_loss_frames`` predicted frames get 1 + early_loss_weight
+        (1.0 everywhere when the knob is off)."""
+        t = jnp.arange(n_frames)
+        wf = jnp.where(
+            t < self.early_loss_frames, 1.0 + self.early_loss_weight, 1.0
+        )
+        return wf[None, :, None, None].astype(jnp.float32)
+
     def compute_motion_anchor(
         self,
         first_tokens: jax.Array,  # (B, h*w, C)
@@ -513,10 +533,13 @@ class MAGECore(nn.Module):
             tok_ce = -jax.nn.log_softmax(logits)[
                 jnp.arange(logits.shape[0]), labels.reshape(-1)
             ]
-            if self.motion_loss_weight > 0:
-                prev = latents[:, : self.frames_length - 1].astype(jnp.int32)
-                moved = (labels != prev).astype(jnp.float32)
-                w = 1.0 + self.motion_loss_weight * moved
+            if self.motion_loss_weight > 0 or self.early_loss_weight > 0:
+                w = jnp.ones(labels.shape, jnp.float32)  # (B, T-1, h, w)
+                if self.motion_loss_weight > 0:
+                    prev = latents[:, : self.frames_length - 1].astype(jnp.int32)
+                    moved = (labels != prev).astype(jnp.float32)
+                    w = w * (1.0 + self.motion_loss_weight * moved)
+                w = w * self._early_frame_weight(labels.shape[1])
                 w = (w / jnp.mean(w)).reshape(-1)
                 recon = jnp.mean(tok_ce * w)
             else:
@@ -524,13 +547,18 @@ class MAGECore(nn.Module):
         else:
             target = latents[:, 1 : self.frames_length].astype(jnp.float32)
             diff = predict.astype(jnp.float32) - target
-            if self.motion_loss_weight > 0:
-                prev = latents[:, : self.frames_length - 1].astype(jnp.float32)
-                # per-token motion energy; for sampled KL latents the
-                # posterior noise adds a uniform floor, which only softens
-                # the contrast (weights stay correctly ordered)
-                d2 = jnp.mean((target - prev) ** 2, axis=-1)
-                w = 1.0 + self.motion_loss_weight * d2 / (jnp.mean(d2) + 1e-8)
+            if self.motion_loss_weight > 0 or self.early_loss_weight > 0:
+                w = jnp.ones(target.shape[:-1], jnp.float32)
+                if self.motion_loss_weight > 0:
+                    prev = latents[:, : self.frames_length - 1].astype(jnp.float32)
+                    # per-token motion energy; for sampled KL latents the
+                    # posterior noise adds a uniform floor, which only softens
+                    # the contrast (weights stay correctly ordered)
+                    d2 = jnp.mean((target - prev) ** 2, axis=-1)
+                    w = w * (
+                        1.0 + self.motion_loss_weight * d2 / (jnp.mean(d2) + 1e-8)
+                    )
+                w = w * self._early_frame_weight(target.shape[1])
                 w = w / jnp.mean(w)
                 recon = jnp.mean(jnp.mean(diff**2, axis=-1) * w)
             else:

@@ -150,6 +150,8 @@ class MagePipeline:
         auto_beta: bool = False,
         remat: bool = False,
         motion_loss_weight: float = 0.0,
+        early_loss_weight: float = 0.0,
+        early_loss_frames: int = 3,
         first_stage_variables=None,
     ):
         self.use_cids = use_cids
@@ -211,6 +213,8 @@ class MagePipeline:
             randomness=randomness,
             remat=remat,
             motion_loss_weight=motion_loss_weight,
+            early_loss_weight=early_loss_weight,
+            early_loss_frames=early_loss_frames,
             pre_ln=not use_cids,  # MAGE+ uses the pre-LN cross-attn variant
             text_vocab_size=te.get("vocab_size", 30),
             text_context_length=te.get("context_length", 32),

@@ -123,15 +123,28 @@ def shard_params(params: Any, mesh: Mesh, model_axis: str = "model",
     return jax.tree_util.tree_map_with_path(_place, params)
 
 
-def sharding_summary(params: Any, mesh: Mesh) -> dict[str, int]:
-    """Count params by placement kind — for logging/tests."""
-    counts = {"column": 0, "row": 0, "replicated": 0}
-    for path, x in jax.tree_util.tree_leaves_with_path(params):
-        spec = param_spec(jax.tree_util.keystr(path), x)
-        if not any(spec):
-            counts["replicated"] += 1
-        elif spec[0] == "model":
-            counts["row"] += 1
+def sharding_summary(params: Any, mesh: Mesh,
+                     model_axis: str = "model") -> dict[str, int]:
+    """Count params by their ACTUAL placed sharding — for logging/tests.
+
+    Reads each leaf's ``x.sharding.spec`` (so FSDP/data shardings applied
+    by ``place_params`` are counted, not just recomputed TP intent —
+    ADVICE r3); leaves without a sharding (host arrays) count as
+    replicated. Buckets: ``model`` (any dim on the model axis), ``data``
+    (sharded over a non-model axis only, i.e. FSDP/ZeRO), ``replicated``."""
+    counts = {"model": 0, "data": 0, "replicated": 0}
+    for x in jax.tree_util.tree_leaves(params):
+        spec = getattr(getattr(x, "sharding", None), "spec", None)
+        names = [
+            n
+            for part in (spec or ())
+            if part is not None
+            for n in ((part,) if isinstance(part, str) else tuple(part))
+        ]
+        if model_axis in names:
+            counts["model"] += 1
+        elif names:
+            counts["data"] += 1
         else:
-            counts["column"] += 1
+            counts["replicated"] += 1
     return counts

@@ -195,3 +195,36 @@ def test_sen_parse_robust_to_malformed_text():
     for text in cases:
         ap, rp = cross_check(gt, sen_parse(text))
         assert 0.0 <= ap <= 1.0 and 0.0 <= rp <= 1.0
+
+
+def test_sen_parse_open_vocab_verb_detection():
+    """Out-of-grammar verbs (an external SwinBERT captioner's output,
+    reference README.md:9-16) must still split subject from object at the
+    first verb — the reference gets this from spacy's generic VERB tags
+    (eval_precision.py:52-58), not from the 4-verb motion branch."""
+    # unseen verb 'moving': subject attrs must NOT include the object side
+    p = sen_parse("the red cube is moving toward the blue sphere.")
+    assert p[0]["subject"] == ["red", "cube"]
+    assert p[0]["motion"] is None  # not one of the 4 grammar verbs
+    # unseen -ed participle
+    p = sen_parse("the small cone gets pushed to the first quadrant.")
+    assert p[0]["subject"] == ["small", "cone"]
+    # 'is'/'red' are not verbs (spacy AUX / adjective): with NO verb the
+    # whole sentence's attrs become the subject (reference :60-62)
+    p = sen_parse("the red cube near the gold snitch.")
+    assert p[0]["subject"] == ["red", "cube", "gold", "snitch"]
+    assert p[0]["motion"] is None
+    # closed-grammar behavior unchanged: literal verb text picks motion
+    p = sen_parse("the large metal cube is sliding to the first quadrant.")
+    assert p[0]["motion"] == "slide" and p[0]["object"] == 1
+
+
+def test_sen_parse_open_vocab_mixed_clause():
+    # a free-text clause followed by a grammar clause: both parse, the
+    # grammar clause still yields its motion
+    p = sen_parse(
+        "a cylinder is spinning around. the purple cone is rotating."
+    )
+    assert len(p) == 2
+    assert p[0]["subject"] == ["cylinder"] and p[0]["motion"] is None
+    assert p[1]["motion"] == "rotate"

@@ -189,6 +189,43 @@ def test_pid_reference_semantics():
     assert b3 == 0.0
 
 
+def test_pid_anti_windup_recovers_from_low_kl_start():
+    """The r3 failure mode: KL near zero for many steps (integral winds
+    down with the reference's dead guard), then KL overshoots the target.
+    The anti-windup controller must engage beta immediately; the
+    reference-exact controller stays saturated at 0 for a long time."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from mage_tpu.training.pid import initial_pid_state, pid_update
+
+    def run(anti_windup):
+        host = PIDControl(anti_windup=anti_windup)
+        state = initial_pid_state()
+        betas = []
+        # 200 warmup steps at KL ~ 0 (target 100), then 50 steps at KL 200
+        for kl in [0.5] * 200 + [200.0] * 50:
+            b_host, _ = host.pid(100.0, kl)
+            b_jit, state = pid_update(
+                state, 100.0, _jnp.float32(kl), anti_windup=anti_windup
+            )
+            # the jit twin must track the host twin bit-for-bit-ish
+            assert abs(float(b_jit) - b_host) < 1e-6, (kl, float(b_jit), b_host)
+            betas.append(b_host)
+        return betas
+
+    fixed = run(True)
+    broken = run(False)
+    # during the low-KL phase both saturate at 0
+    assert max(fixed[:200]) == 0.0 and max(broken[:200]) == 0.0
+    # once KL overshoots, the anti-windup controller engages within steps
+    assert max(fixed[200:210]) > 0.0, fixed[200:210]
+    # and ramps: by step 50 of overshoot it is regulating meaningfully
+    assert fixed[-1] > 1e-4
+    # the reference-exact controller is still pinned at 0 (wound down)
+    assert max(broken[200:]) == 0.0, max(broken[200:])
+
+
 def test_generation_end_to_end(tmp_path, mesh8):
     from mage_tpu.training.mage_trainer import MageTrainer
     from mage_tpu.data.loader import Loader

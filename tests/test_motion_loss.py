@@ -118,3 +118,63 @@ params:
     )
     pipeline = instantiate_from_config(cfg)
     assert pipeline.core.motion_loss_weight == 2.0
+
+
+def test_early_frame_weight_matches_manual_discrete():
+    core = _core(use_cids=True)
+    latents, text, speed = _batch(use_cids=True)
+    params = _init(core, latents, text, speed)["params"]
+    base = _terms(core, params, latents, text, speed)
+
+    elw, nef = 4.0, 2
+    wcore = core.clone(early_loss_weight=elw, early_loss_frames=nef)
+    got = _terms(wcore, params, latents, text, speed)
+
+    logits = np.asarray(base["predict"], np.float32).reshape(-1, K)
+    labels = np.asarray(latents[:, 1:L]).reshape(-1)
+    logp = logits - jax.nn.logsumexp(jnp.asarray(logits), axis=-1, keepdims=True)
+    tok_ce = -np.asarray(logp)[np.arange(labels.size), labels]
+    shape = latents[:, 1:L].shape  # (B, L-1, h, w)
+    w = np.ones(shape, np.float32)
+    w[:, :nef] *= 1.0 + elw
+    w = (w / w.mean()).reshape(-1)
+    np.testing.assert_allclose(
+        float(got["prediction"]), float((tok_ce * w).mean()), rtol=1e-5
+    )
+    # the weighted loss must differ from uniform (weights are non-trivial)
+    assert abs(float(got["prediction"]) - float(base["prediction"])) > 0
+
+
+def test_early_frame_weight_composes_with_motion_weight_continuous():
+    core = _core(use_cids=False)
+    latents, text, speed = _batch(use_cids=False)
+    params = _init(core, latents, text, speed)["params"]
+    base = _terms(core, params, latents, text, speed)
+
+    mlw, elw, nef = 3.0, 2.0, 1
+    wcore = core.clone(motion_loss_weight=mlw, early_loss_weight=elw,
+                       early_loss_frames=nef)
+    got = _terms(wcore, params, latents, text, speed)
+
+    pred = np.asarray(base["predict"], np.float32)
+    target = np.asarray(latents[:, 1:L], np.float32)
+    prev = np.asarray(latents[:, : L - 1], np.float32)
+    d2 = ((target - prev) ** 2).mean(-1)
+    w = 1.0 + mlw * d2 / (d2.mean() + 1e-8)
+    w[:, :nef] *= 1.0 + elw
+    w = w / w.mean()
+    want = (((pred - target) ** 2).mean(-1) * w).mean()
+    np.testing.assert_allclose(float(got["prediction"]), want, rtol=1e-5)
+
+
+def test_early_frame_weight_covering_all_frames_is_uniform():
+    # boost window >= all predicted frames -> normalization cancels it
+    core = _core(use_cids=True)
+    latents, text, speed = _batch(use_cids=True)
+    params = _init(core, latents, text, speed)["params"]
+    base = _terms(core, params, latents, text, speed)
+    got = _terms(core.clone(early_loss_weight=5.0, early_loss_frames=L),
+                 params, latents, text, speed)
+    np.testing.assert_allclose(
+        float(got["prediction"]), float(base["prediction"]), rtol=1e-6
+    )

@@ -610,7 +610,7 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
     # extractor (no Kinetics checkpoint ships in this offline image:
     # documented RANDOM weights, fixed seed 42 — a random-projection
     # Frechet distance; the recon row calibrates the first-stage floor)
-    from mage_tpu.evals.fvd import compute_fvd
+    from mage_tpu.evals.fvd import compute_fvd, fvd_same_split_floor
     from mage_tpu.evals.i3d import I3D, make_extractor
 
     i3d = I3D(num_classes=400, endpoint="Mixed_3c")
@@ -624,10 +624,15 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
     clip = lambda v: np.clip(v, -1.0, 1.0).astype(np.float32)  # noqa: E731
     fvd_gen = compute_fvd(clip(gt_np[:, 1:]), clip(gen_np), extractor)
     fvd_recon = compute_fvd(clip(gt_np[:, 1:]), clip(recon_np), extractor)
+    fvd_floor = fvd_same_split_floor(clip(gt_np[:, 1:]), extractor)
     log_metrics(out_dir, {
         "phase": f"fvd_{split}", "samples": g,
         "fvd_gen_vs_gt": float(fvd_gen),
         "fvd_recon_vs_gt": float(fvd_recon),
+        # same-split GT-vs-GT floor: the metric's sampling noise at this
+        # sample count/extractor — judge fvd_gen by its ratio to this
+        "fvd_same_split_floor": float(fvd_floor),
+        "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
         "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42, endpoint Mixed_3c (deep random features mean-field-collapse; shallow random projections discriminate — see I3D docstring)",
         "feature_dim": 480,
     })

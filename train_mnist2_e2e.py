@@ -84,6 +84,10 @@ def parse_args(argv=None):
                         "motion_loss_weight): upweights tokens whose ids "
                         "change between frames; counters the copy-frame "
                         "hedge on stop-at-wall data (0 = reference-exact)")
+    p.add_argument("--early-loss-weight", type=float, default=0.0,
+                   help="opt-in early-frame loss upweighting "
+                        "(MAGECore.early_loss_weight; 0 = reference-exact)")
+    p.add_argument("--early-loss-frames", type=int, default=3)
     p.add_argument("--tiny", action="store_true")
     return p.parse_args(argv)
 
@@ -272,6 +276,9 @@ def build_pipeline(args, fs_variables):
     cfg.model.params.generate_decoder_config.params.out_channels = args.codebook
     if args.motion_loss_weight:
         cfg.model.params.motion_loss_weight = args.motion_loss_weight
+    if args.early_loss_weight:
+        cfg.model.params.early_loss_weight = args.early_loss_weight
+        cfg.model.params.early_loss_frames = args.early_loss_frames
     if args.tiny:
         cfg.model.params.vision_width = 64
         cfg.model.params.text_encoder_config.params.transformer_width = 64
@@ -566,7 +573,7 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
     })
     # FVD: generated vs GT clip distributions (in-repo I3D extractor;
     # documented random weights, seed 42 — see evals/fvd.py)
-    from mage_tpu.evals.fvd import compute_fvd
+    from mage_tpu.evals.fvd import compute_fvd, fvd_same_split_floor
     from mage_tpu.evals.i3d import I3D, make_extractor
 
     i3d = I3D(num_classes=400, endpoint="Mixed_3c")
@@ -587,10 +594,13 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
     fvd_recon = compute_fvd(to_rgb(gt_np),
                             to_rgb(np.asarray(jax.device_get(recon_gt))[:, 1:]),
                             extractor)
+    fvd_floor = fvd_same_split_floor(to_rgb(gt_np), extractor)
     log_metrics(out_dir, {
         "phase": f"fvd_{split}", "samples": g,
         "fvd_gen_vs_gt": float(fvd_gen),
         "fvd_recon_vs_gt": float(fvd_recon),
+        "fvd_same_split_floor": float(fvd_floor),
+        "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
         "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42, endpoint Mixed_3c (deep random features mean-field-collapse; shallow random projections discriminate — see I3D docstring)",
         "feature_dim": 480,
     })

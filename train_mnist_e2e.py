@@ -75,6 +75,16 @@ def parse_args(argv=None):
     p.add_argument("--gifs", type=int, default=4)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute in stage-2 training (params stay f32)")
+    p.add_argument("--motion-loss-weight", type=float, default=0.0,
+                   help="opt-in motion-weighted recon loss "
+                        "(MAGECore.motion_loss_weight; 0 = reference-exact)")
+    p.add_argument("--early-loss-weight", type=float, default=0.0,
+                   help="opt-in early-frame loss upweighting "
+                        "(MAGECore.early_loss_weight): targets initial-"
+                        "direction SIGN binding, the weakest caption bit "
+                        "(65-73%% sign-given-axis after 201 epochs, "
+                        "docs/results/direction_binding_single.md)")
+    p.add_argument("--early-loss-frames", type=int, default=3)
     p.add_argument("--tiny", action="store_true", help="CPU smoke test scale")
     return p.parse_args(argv)
 
@@ -246,6 +256,11 @@ def build_pipeline(args, fs_variables):
     cfg.model.params.frames_length = args.frames_length
     cfg.model.params.generate_decoder_config.params.frames_length = args.frames_length
     cfg.model.params.generate_decoder_config.params.out_channels = args.codebook
+    if args.motion_loss_weight:
+        cfg.model.params.motion_loss_weight = args.motion_loss_weight
+    if args.early_loss_weight:
+        cfg.model.params.early_loss_weight = args.early_loss_weight
+        cfg.model.params.early_loss_frames = args.early_loss_frames
     if args.tiny:
         cfg.model.params.vision_width = 64
         cfg.model.params.text_encoder_config.params.transformer_width = 64

@@ -543,7 +543,7 @@ def eval_generation(args, pipeline, params, dev, mom, split, out_dir):
     # extractor uses documented RANDOM weights (fixed seed): a random-
     # projection Frechet distance — 0 for identical distributions, and the
     # recon upper bound is reported alongside for calibration.
-    from mage_tpu.evals.fvd import compute_fvd
+    from mage_tpu.evals.fvd import compute_fvd, fvd_same_split_floor
     from mage_tpu.evals.i3d import I3D, make_extractor
 
     i3d = I3D(num_classes=400, endpoint="Mixed_3c")
@@ -568,10 +568,13 @@ def eval_generation(args, pipeline, params, dev, mom, split, out_dir):
     ))[:, 1:]
     fvd_gen = compute_fvd(to_rgb(gt_np), to_rgb(vid_c_np), extractor)
     fvd_recon = compute_fvd(to_rgb(gt_np), to_rgb(recon_np), extractor)
+    fvd_floor = fvd_same_split_floor(to_rgb(gt_np), extractor)
     log_metrics(out_dir, {
         "phase": f"fvd_{split}", "samples": g,
         "fvd_gen_vs_gt": float(fvd_gen),
         "fvd_recon_vs_gt": float(fvd_recon),
+        "fvd_same_split_floor": float(fvd_floor),
+        "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
         "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42, endpoint Mixed_3c (deep random features mean-field-collapse; shallow random projections discriminate — see I3D docstring)",
         "feature_dim": 480,
     })
