@@ -44,25 +44,45 @@ def sidecars(run_dir: str) -> dict:
 def main():
     os.makedirs("docs/results", exist_ok=True)
     rows = []
+    seen = set()
     for run_dir in sorted(glob.glob("runs/*")):
         name = os.path.basename(run_dir)
         last = collect(run_dir)
         last.update(sidecars(run_dir))
         if not last:
             continue
+        seen.add(name)
         with open(f"docs/results/{name}_metrics.json", "w") as fp:
             json.dump(last, fp, indent=1, sort_keys=True)
         for phase, rec in sorted(last.items()):
-            keep = {k: v for k, v in rec.items()
-                    if k not in ("phase", "time") and isinstance(v, (int, float))}
-            kv = ", ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
-                           for k, v in list(keep.items())[:8])
-            rows.append(f"| {name} | {phase} | {kv} |")
+            rows.append(_row(name, phase, rec))
+    # runs whose checkpoints were wiped (VM resets between rounds) but
+    # whose collected metrics persist in docs/results: keep them in the
+    # summary, marked as historical
+    for path in sorted(glob.glob("docs/results/*_metrics.json")):
+        name = os.path.basename(path).removesuffix("_metrics.json")
+        if name in seen:
+            continue
+        with open(path) as fp:
+            last = json.load(fp)
+        if not isinstance(last, dict):
+            continue
+        for phase, rec in sorted(last.items()):
+            if isinstance(rec, dict):
+                rows.append(_row(f"{name} (earlier round)", phase, rec))
     with open("docs/results/SUMMARY.md", "w") as fp:
         fp.write("# e2e training results (auto-collected)\n\n"
                  "| run | phase | metrics |\n|---|---|---|\n")
         fp.write("\n".join(rows) + "\n")
     print(f"collected {len(rows)} phase rows")
+
+
+def _row(name: str, phase: str, rec: dict) -> str:
+    keep = {k: v for k, v in rec.items()
+            if k not in ("phase", "time") and isinstance(v, (int, float))}
+    kv = ", ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                   for k, v in list(keep.items())[:8])
+    return f"| {name} | {phase} | {kv} |"
 
 
 if __name__ == "__main__":
