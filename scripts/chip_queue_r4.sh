@@ -46,8 +46,17 @@ phase() {
 
 phase bench_headline timeout 4800 python bench.py
 
-phase cater timeout 21600 python train_cater_e2e.py --out runs/cater_e2e \
-  --stage1-epochs 200 --codebook-restart --stage2-epochs 120 --bf16
+# stage-1 completed before the 02:22 VM reset (391/512 codes, 39.5 dB);
+# stage-2 died at epoch 35/120 and the e2e script has no mid-stage resume,
+# so reuse the saved stage-1 and rerun stage-2 from scratch.
+if [ -d runs/cater_e2e/vqvae/best ]; then
+  phase cater timeout 21600 python train_cater_e2e.py --out runs/cater_e2e \
+    --stage1-epochs 200 --codebook-restart --stage2-epochs 120 --bf16 \
+    --skip-stage1
+else
+  phase cater timeout 21600 python train_cater_e2e.py --out runs/cater_e2e \
+    --stage1-epochs 200 --codebook-restart --stage2-epochs 120 --bf16
+fi
 
 phase cater_kl timeout 21600 python train_cater_kl_e2e.py \
   --out runs/cater_kl_e2e --stage2-epochs 80
