@@ -129,17 +129,15 @@ def main(argv=None):
         variables = import_i3d_torch(torch.load(torch_ckpt, map_location="cpu"))
         provenance = "pytorch-i3d rgb_imagenet.pt (Kinetics)"
         endpoint, feature_dim = "logits", 400
+        extractor = make_extractor(variables, batch_size=8,
+                                   endpoint=endpoint)
     else:
-        # random weights: use the shallow endpoint — the full stack
-        # mean-field-collapses at random init (see I3D docstring)
-        endpoint, feature_dim = "Mixed_3c", 480
-        i3d = I3D(num_classes=400, endpoint=endpoint)
-        variables = jax.jit(lambda: i3d.init(
-            jax.random.PRNGKey(42), jnp.zeros((1, 9, 64, 64, 3)), train=False
-        ))()
-        provenance = ("random-init seed 42, endpoint Mixed_3c "
-                      "(no Kinetics ckpt in image)")
-    extractor = make_extractor(variables, batch_size=8, endpoint=endpoint)
+        # trained extractor if a matching one exists, else the documented
+        # random-init Mixed_3c fallback (evals/fvd.py::resolve_extractor)
+        from mage_tpu.evals.fvd import resolve_extractor
+
+        extractor, provenance, feature_dim = resolve_extractor(
+            "MovingMNIST", batch_size=8)
 
     def to_rgb(v):
         # I3D expects float [-1, 1] (make_extractor contract)

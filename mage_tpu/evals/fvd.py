@@ -69,3 +69,68 @@ def fvd_same_split_floor(
     a = extract_features(videos[idx[:half]], extractor, batch_size)
     b = extract_features(videos[idx[half : 2 * half]], extractor, batch_size)
     return frechet_distance(*gaussian_stats(a), *gaussian_stats(b))
+
+
+def resolve_extractor(dataset: str | None = None, batch_size: int = 8):
+    """Best available FVD feature extractor, in order of preference:
+
+    1. a Kinetics pytorch-i3d checkpoint (``MAGE_I3D_TORCH``, the
+       standard FVD extractor) — absent in offline images;
+    2. an action-trained trunk from ``train_fvd_extractor.py``
+       (``MAGE_FVD_EXTRACTOR``, default ``runs/fvd_extractor``) whose
+       provenance ``dataset`` family matches ``dataset``;
+    3. the documented random-init Mixed_3c fallback (see I3D docstring).
+
+    Returns ``(extract_fn, provenance_str, feature_dim)``. All three
+    satisfy the ``compute_fvd`` extractor contract; the provenance string
+    is recorded next to every FVD so readers know which regime a number
+    came from (VERDICT r3 weak #8: mixed extractors made cross-run FVDs
+    incomparable).
+    """
+    import json
+    import os
+
+    torch_ckpt = os.environ.get("MAGE_I3D_TORCH", "")
+    if torch_ckpt and os.path.exists(torch_ckpt):
+        import torch
+
+        from mage_tpu.evals.i3d import import_i3d_torch, make_extractor
+
+        variables = import_i3d_torch(torch.load(torch_ckpt,
+                                                map_location="cpu"))
+        return (make_extractor(variables, batch_size=batch_size,
+                               endpoint="logits"),
+                f"pytorch-i3d {os.path.basename(torch_ckpt)} (Kinetics), "
+                f"endpoint logits", 400)
+
+    path = os.environ.get("MAGE_FVD_EXTRACTOR", "runs/fvd_extractor")
+    prov_path = os.path.join(path, "provenance.json")
+    family_ok = False
+    if os.path.exists(prov_path) and dataset is not None:
+        with open(prov_path) as fp:
+            trained_on = json.load(fp).get("dataset", "")
+        # v1/v2 share the visual world; an extractor trained on either
+        # CATER family member transfers to the other
+        family_ok = trained_on.split("-")[0] == str(dataset).split("-")[0]
+    if family_ok:
+        try:
+            from mage_tpu.evals.i3d import load_trained_extractor
+
+            return load_trained_extractor(path, batch_size=batch_size)
+        except FileNotFoundError:
+            pass
+
+    import jax
+    import jax.numpy as jnp
+
+    from mage_tpu.evals.i3d import I3D, make_extractor
+
+    i3d = I3D(num_classes=400, endpoint="Mixed_3c")
+    variables = jax.jit(lambda: i3d.init(
+        jax.random.PRNGKey(42), jnp.zeros((1, 2, 32, 32, 3)), train=False
+    ))()
+    return (make_extractor(variables, batch_size=batch_size,
+                           endpoint="Mixed_3c"),
+            "random-init seed 42, endpoint Mixed_3c (deep random features "
+            "mean-field-collapse; shallow random projections discriminate "
+            "— see I3D docstring)", 480)

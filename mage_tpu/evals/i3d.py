@@ -242,3 +242,39 @@ def make_extractor(variables: Mapping[str, Any], batch_size: int = 8,
         return np.concatenate(outs, axis=0)
 
     return extract
+
+
+def load_trained_extractor(path: str, batch_size: int = 8):
+    """Restore a ``train_fvd_extractor.py`` checkpoint directory and build
+    the canonical FVD feature fn from its action-trained trunk.
+
+    ``path`` is the ``<out>/i3d/best`` orbax directory (or its parent
+    ``<out>``, resolved). Returns ``(extract_fn, provenance_str, dim)``;
+    raises FileNotFoundError when no checkpoint is there — callers fall
+    back to the random-init Mixed_3c extractor (see I3D docstring).
+    """
+    import json
+    import os
+
+    from mage_tpu.training.checkpoint import Checkpointer
+
+    root = path
+    if os.path.isdir(os.path.join(path, "i3d", "best")):
+        root = os.path.join(path, "i3d")
+    elif os.path.basename(path) == "best":
+        root = os.path.dirname(path)
+    ckpt = Checkpointer(root)
+    if not ckpt.exists("best"):
+        raise FileNotFoundError(f"no trained FVD extractor under {path}")
+    variables = ckpt.restore("best")
+    prov = "action-trained I3D (train_fvd_extractor.py), endpoint Mixed_4f"
+    prov_path = os.path.join(os.path.dirname(root), "provenance.json")
+    if os.path.exists(prov_path):
+        with open(prov_path) as fp:
+            p = json.load(fp)
+        prov += (f"; val action acc per-label "
+                 f"{p.get('val_action_acc_per_label', float('nan')):.3f}, "
+                 f"exact-set {p.get('val_action_acc_exact_set', float('nan')):.3f}, "
+                 f"generator seed {p.get('generator_seed')}")
+    return (make_extractor(variables, batch_size=batch_size,
+                           endpoint="Mixed_4f"), prov, 832)

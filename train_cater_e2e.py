@@ -39,6 +39,7 @@ from mage_tpu.data import device_data as dd
 from mage_tpu.data.generators import cater_synthetic as cs
 from mage_tpu.models.vqvae import VectorQuantizedVAE
 from mage_tpu.training import vqvae_trainer as vt
+from mage_tpu.training.autoresume import save_last, try_restore_last
 from mage_tpu.training.checkpoint import Checkpointer
 from mage_tpu.training.lr import epoch_lr
 from mage_tpu.training.mage_trainer import make_mage_tx
@@ -84,7 +85,17 @@ def parse_args(argv=None):
                         "frame-0 recon by 10 dB; off = reference parity)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.tiny:
+        # shrink every knob the user did not explicitly set, so e.g.
+        # `--tiny --stage2-epochs 12` still honors the explicit epochs
+        # (the autoresume test depends on this)
+        for k, v in dict(num_train=48, num_val=12, dim=16, codebook=32,
+                         stage1_epochs=2, stage2_epochs=2, batch1=8,
+                         batch2=4, chunk=2, eval_videos=4, gifs=1).items():
+            if getattr(args, k) == p.get_default(k):
+                setattr(args, k, v)
+    return args
 
 
 def log_metrics(out_dir, record):
@@ -191,8 +202,14 @@ def stage1(args, dev, out_dir):
     chunks = max(round(steps_per_epoch / args.chunk), 1)
     rng = jax.random.PRNGKey(args.seed + 1)
     best = float("inf")
+    start_epoch = 0
+    resumed = try_restore_last(ckpt, {"train": state, "rng": rng})
+    if resumed is not None:
+        start_epoch, best, st = resumed
+        state, rng = st["train"], st["rng"]
+        print(f"stage-1 autoresume: epoch {start_epoch}, best mse {best:.6f}")
     t0 = time.time()
-    for epoch in range(args.stage1_epochs):
+    for epoch in range(start_epoch, args.stage1_epochs):
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
             state, loss = train_chunk(state, sub, args.lr1)
@@ -215,11 +232,12 @@ def stage1(args, dev, out_dir):
                 "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
                 "val_recon_psnr_motion": mse_to_psnr(mse_m),
                 "codebook_used": used,
-                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
             if mse < best:
                 best = mse
                 ckpt.save("best", jax.device_get(state))
+            save_last(ckpt, epoch, best, {"train": state, "rng": rng})
     ckpt.save("final", jax.device_get(state))
 
     mse, used, frames, recon = eval_recon(state, jnp.int32(0))
@@ -399,8 +417,16 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
     rng = jax.random.PRNGKey(args.seed + 2)
     ckpt = Checkpointer(os.path.join(out_dir, "mage"))
     best = float("inf")
+    start_epoch = 0
+    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
+                                      "step": step, "rng": rng})
+    if resumed is not None:
+        start_epoch, best, st = resumed
+        params, opt_state = st["params"], st["opt_state"]
+        step, rng = st["step"], st["rng"]
+        print(f"stage-2 autoresume: epoch {start_epoch}, best {best:.4f}")
     t0 = time.time()
-    for epoch in range(args.stage2_epochs):
+    for epoch in range(start_epoch, args.stage2_epochs):
         lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
@@ -416,12 +442,19 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
                 "phase": "stage2", "epoch": epoch, "lr": lr,
                 "train_loss": loss, "val_loss": val_loss,
                 "val_prediction": val_pred,
-                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
             if val_loss < best:
                 best = val_loss
                 ckpt.save("best", {"step": jax.device_get(step),
                                    "params": jax.device_get(params)})
+            # full-state resume point every 10 epochs (the opt_state fetch
+            # is ~3x a best-save; 10-epoch cadence bounds it at <2% of
+            # train time while capping crash loss at ~7 min)
+            if epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
+                save_last(ckpt, epoch, best,
+                          {"params": params, "opt_state": opt_state,
+                           "step": step, "rng": rng})
     ckpt.save("final", {"step": jax.device_get(step),
                         "params": jax.device_get(params)})
     return params
@@ -606,20 +639,15 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
         "gt_action_precision_ceiling": pm_gt["action_precision"],
         "gt_referring_precision_ceiling": pm_gt["referring_precision"],
     })
-    # FVD: generated vs GT clip distributions through the in-repo I3D
-    # extractor (no Kinetics checkpoint ships in this offline image:
-    # documented RANDOM weights, fixed seed 42 — a random-projection
-    # Frechet distance; the recon row calibrates the first-stage floor)
-    from mage_tpu.evals.fvd import compute_fvd, fvd_same_split_floor
-    from mage_tpu.evals.i3d import I3D, make_extractor
+    # FVD: generated vs GT clip distributions through the best available
+    # extractor — the action-trained trunk (train_fvd_extractor.py) when
+    # its checkpoint exists, else the documented random-init fallback;
+    # the recon row calibrates the first-stage floor either way
+    from mage_tpu.evals.fvd import (compute_fvd, fvd_same_split_floor,
+                                    resolve_extractor)
 
-    i3d = I3D(num_classes=400, endpoint="Mixed_3c")
-    iv = jax.jit(
-        lambda: i3d.init(jax.random.PRNGKey(42),
-                         jnp.zeros((1, args.frames_length - 1, 128, 128, 3)),
-                         train=False)
-    )()
-    extractor = make_extractor(iv, batch_size=4, endpoint="Mixed_3c")
+    dataset = "CATER-GEN-v1" if args.dataset == "caterv1" else "CATER-GEN-v2"
+    extractor, fvd_prov, fvd_dim = resolve_extractor(dataset, batch_size=4)
     recon_np = np.asarray(jax.device_get(recon_gt), np.float64)[:, 1:]
     clip = lambda v: np.clip(v, -1.0, 1.0).astype(np.float32)  # noqa: E731
     fvd_gen = compute_fvd(clip(gt_np[:, 1:]), clip(gen_np), extractor)
@@ -633,8 +661,8 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
         # sample count/extractor — judge fvd_gen by its ratio to this
         "fvd_same_split_floor": float(fvd_floor),
         "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
-        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42, endpoint Mixed_3c (deep random features mean-field-collapse; shallow random projections discriminate — see I3D docstring)",
-        "feature_dim": 480,
+        "extractor": fvd_prov,
+        "feature_dim": fvd_dim,
     })
 
     few = np.asarray(gen_np[: args.gifs], np.float32)
@@ -648,12 +676,6 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.tiny:
-        args.num_train, args.num_val = 48, 12
-        args.dim, args.codebook = 16, 32
-        args.stage1_epochs, args.stage2_epochs = 2, 2
-        args.batch1, args.batch2, args.chunk = 8, 4, 2
-        args.eval_videos, args.gifs = 4, 1
     os.makedirs(args.out, exist_ok=True)
     print(f"devices: {jax.devices()}")
 

@@ -37,6 +37,7 @@ import numpy as np
 import train_cater_e2e as ce
 from mage_tpu.data.generators import cater_synthetic as cs
 from mage_tpu.models.autoencoder_kl import AutoencoderKL, DiagonalGaussian
+from mage_tpu.training.autoresume import save_last, try_restore_last
 from mage_tpu.training.checkpoint import Checkpointer
 from mage_tpu.training.lr import epoch_lr
 from mage_tpu.training.mage_trainer import cast_floating, make_mage_tx
@@ -164,8 +165,15 @@ def stage_ae(args, dev, out_dir):
     chunks = max(round(steps_per_epoch / args.chunk), 1)
     rng = jax.random.PRNGKey(args.seed + 1)
     best = float("inf")
+    start_epoch = 0
+    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
+                                      "rng": rng})
+    if resumed is not None:
+        start_epoch, best, st = resumed
+        params, opt_state, rng = st["params"], st["opt_state"], st["rng"]
+        print(f"klae autoresume: epoch {start_epoch}, best mse {best:.6f}")
     t0 = time.time()
-    for epoch in range(args.ae_epochs):
+    for epoch in range(start_epoch, args.ae_epochs):
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
             params, opt_state, rec = train_chunk(params, opt_state, sub)
@@ -176,11 +184,13 @@ def stage_ae(args, dev, out_dir):
             log_metrics(out_dir, {
                 "phase": "klae", "epoch": epoch, "train_recon": rec,
                 "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
-                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
             if mse < best:
                 best = mse
                 ckpt.save("best", {"params": jax.device_get(params)})
+            save_last(ckpt, epoch, best,
+                      {"params": params, "opt_state": opt_state, "rng": rng})
     ckpt.save("final", {"params": jax.device_get(params)})
 
     mse, frames, recon = eval_recon(params)
@@ -381,8 +391,19 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
     ckpt = Checkpointer(os.path.join(out_dir, "mage"))
     pid_state = initial_pid_state()
     best = float("inf")
+    start_epoch = 0
+    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
+                                      "step": step, "pid": pid_state,
+                                      "rng": rng})
+    if resumed is not None:
+        # the PID controller state resumes too: beta regulation continues
+        # from where the crashed run left off instead of re-winding up
+        start_epoch, best, st = resumed
+        params, opt_state = st["params"], st["opt_state"]
+        step, pid_state, rng = st["step"], st["pid"], st["rng"]
+        print(f"stage-2 autoresume: epoch {start_epoch}, best {best:.4f}")
     t0 = time.time()
-    for epoch in range(args.stage2_epochs):
+    for epoch in range(start_epoch, args.stage2_epochs):
         lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
@@ -400,12 +421,16 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
                 "phase": "stage2", "epoch": epoch, "lr": lr,
                 "train_loss": loss, "train_kl": klm, "beta": beta,
                 "val_loss": val_loss, "val_prediction": val_pred,
-                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
             if val_loss < best:
                 best = val_loss
                 ckpt.save("best", {"step": jax.device_get(step),
                                    "params": jax.device_get(params)})
+            if epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
+                save_last(ckpt, epoch, best,
+                          {"params": params, "opt_state": opt_state,
+                           "step": step, "pid": pid_state, "rng": rng})
     ckpt.save("final", {"step": jax.device_get(step),
                         "params": jax.device_get(params)})
     return params
@@ -542,17 +567,13 @@ def eval_generation(args, pipeline, params, dev, compact, mom, split,
         "gt_referring_precision_ceiling": pm_gt["referring_precision"],
     })
 
-    # FVD (in-repo I3D extractor; documented random weights, seed 42)
-    from mage_tpu.evals.fvd import compute_fvd, fvd_same_split_floor
-    from mage_tpu.evals.i3d import I3D, make_extractor
+    # FVD — action-trained extractor when available, else the documented
+    # random-init fallback (evals/fvd.py::resolve_extractor)
+    from mage_tpu.evals.fvd import (compute_fvd, fvd_same_split_floor,
+                                    resolve_extractor)
 
-    i3d = I3D(num_classes=400, endpoint="Mixed_3c")
-    iv = jax.jit(
-        lambda: i3d.init(jax.random.PRNGKey(42),
-                         jnp.zeros((1, args.frames_length - 1, 128, 128, 3)),
-                         train=False)
-    )()
-    extractor = make_extractor(iv, batch_size=4, endpoint="Mixed_3c")
+    extractor, fvd_prov, fvd_dim = resolve_extractor("CATER-GEN-v2",
+                                                     batch_size=4)
     recon_np = np.asarray(jax.device_get(recon_gt), np.float64)[:, 1:]
     clip = lambda v: np.clip(v, -1.0, 1.0).astype(np.float32)  # noqa: E731
     fvd_gen = compute_fvd(clip(gt_np[:, 1:]), clip(gen_np), extractor)
@@ -564,8 +585,8 @@ def eval_generation(args, pipeline, params, dev, compact, mom, split,
         "fvd_recon_vs_gt": float(fvd_recon),
         "fvd_same_split_floor": float(fvd_floor),
         "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
-        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42, endpoint Mixed_3c (deep random features mean-field-collapse; shallow random projections discriminate — see I3D docstring)",
-        "feature_dim": 480,
+        "extractor": fvd_prov,
+        "feature_dim": fvd_dim,
     })
 
     few = gen_np[: args.gifs].astype(np.float32)

@@ -35,6 +35,7 @@ import numpy as np
 from mage_tpu.data import device_data as dd
 from mage_tpu.models.vqvae import VectorQuantizedVAE
 from mage_tpu.training import vqvae_trainer as vt
+from mage_tpu.training.autoresume import save_last, try_restore_last
 from mage_tpu.training.checkpoint import Checkpointer
 from mage_tpu.training.lr import epoch_lr
 from mage_tpu.training.mage_trainer import make_mage_tx
@@ -69,9 +70,9 @@ def parse_args(argv=None):
                    help="restore <out>/{vqvae,mage}/<--eval-ckpt> and run "
                         "the generation evals only")
     p.add_argument("--resume", action="store_true",
-                   help="continue stage 2 from <out>/mage/last (params + "
-                        "optimizer state + epoch); train to the NEW "
-                        "--stage2-epochs with the cosine spanning it")
+                   help="legacy: warm-restart stage 2 from a params-only "
+                        "'final' checkpoint at --resume-epoch (stage 2 now "
+                        "AUTO-resumes from <out>/mage/last when it exists)")
     p.add_argument("--resume-epoch", type=int, default=0,
                    help="with --resume when only a params-only 'final' "
                         "checkpoint exists: the epoch that run had reached")
@@ -195,8 +196,14 @@ def stage1(args, dev, out_dir):
     chunks = max(round(steps_per_epoch / args.chunk), 1)
     rng = jax.random.PRNGKey(args.seed + 1)
     best = float("inf")
+    start_epoch = 0
+    resumed = try_restore_last(ckpt, {"train": state, "rng": rng})
+    if resumed is not None:
+        start_epoch, best, st = resumed
+        state, rng = st["train"], st["rng"]
+        print(f"stage-1 autoresume: epoch {start_epoch}, best mse {best:.6f}")
     t0 = time.time()
-    for epoch in range(args.stage1_epochs):
+    for epoch in range(start_epoch, args.stage1_epochs):
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
             state, loss = train_chunk(state, sub, args.lr1)
@@ -208,11 +215,12 @@ def stage1(args, dev, out_dir):
                 "phase": "stage1", "epoch": epoch, "train_loss": loss,
                 "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
                 "codebook_used": used,
-                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
             if mse < best:
                 best = mse
                 ckpt.save("best", jax.device_get(state))
+            save_last(ckpt, epoch, best, {"train": state, "rng": rng})
     ckpt.save("final", jax.device_get(state))
 
     mse, used, frames, recon = eval_recon(state, jnp.int32(0))
@@ -392,25 +400,24 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
     ckpt = Checkpointer(os.path.join(out_dir, "mage"))
     best = float("inf")
     start_epoch = 0
-    if args.resume:
-        if os.path.isdir(os.path.join(out_dir, "mage", "last")):
-            # full optimizer state rides in the "last" checkpoint, so a
-            # continued run is step-equivalent to a longer one (modulo the
-            # cosine schedule now spanning the NEW --stage2-epochs)
-            template = {"step": jax.device_get(step), "epoch": 0,
-                        "params": jax.device_get(params),
-                        "opt_state": jax.device_get(opt_state)}
-            restored = ckpt.restore("last", template)
-            opt_state = jax.device_put(restored["opt_state"])
-            start_epoch = int(restored["epoch"]) + 1
-        else:
-            # older runs saved params only: warm-restart Adam (moments
-            # re-estimate within ~100 steps); --resume-epoch supplies the
-            # epoch the run had reached
-            restored = ckpt.restore("final", {
-                "step": jax.device_get(step),
-                "params": jax.device_get(params)})
-            start_epoch = args.resume_epoch
+    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
+                                      "step": step, "rng": rng})
+    if resumed is not None:
+        # full optimizer state + host RNG ride in "last", so a continued
+        # run is step-equivalent to an uninterrupted one (modulo the
+        # cosine schedule now spanning the NEW --stage2-epochs)
+        start_epoch, best, st = resumed
+        params, opt_state = st["params"], st["opt_state"]
+        step, rng = st["step"], st["rng"]
+        print(f"stage-2 autoresume: epoch {start_epoch}, best {best:.4f}")
+    elif args.resume:
+        # older runs saved params only: warm-restart Adam (moments
+        # re-estimate within ~100 steps); --resume-epoch supplies the
+        # epoch the run had reached
+        restored = ckpt.restore("final", {
+            "step": jax.device_get(step),
+            "params": jax.device_get(params)})
+        start_epoch = args.resume_epoch
         params = jax.device_put(restored["params"])
         step = jax.device_put(restored["step"])
         # fold the resume point into the RNG stream: without this the
@@ -441,9 +448,9 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
                 best = val_loss
                 ckpt.save("best", {"step": jax.device_get(step),
                                    "params": jax.device_get(params)})
-            ckpt.save("last", {"step": jax.device_get(step), "epoch": epoch,
-                               "params": jax.device_get(params),
-                               "opt_state": jax.device_get(opt_state)})
+            save_last(ckpt, epoch, best,
+                      {"params": params, "opt_state": opt_state,
+                       "step": step, "rng": rng})
     ckpt.save("final", {"step": jax.device_get(step),
                         "params": jax.device_get(params)})
     return params
@@ -573,16 +580,11 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
     })
     # FVD: generated vs GT clip distributions (in-repo I3D extractor;
     # documented random weights, seed 42 — see evals/fvd.py)
-    from mage_tpu.evals.fvd import compute_fvd, fvd_same_split_floor
-    from mage_tpu.evals.i3d import I3D, make_extractor
+    from mage_tpu.evals.fvd import (compute_fvd, fvd_same_split_floor,
+                                    resolve_extractor)
 
-    i3d = I3D(num_classes=400, endpoint="Mixed_3c")
-    iv = jax.jit(
-        lambda: i3d.init(jax.random.PRNGKey(42),
-                         jnp.zeros((1, args.frames_length - 1, 64, 64, 3)),
-                         train=False)
-    )()
-    extractor = make_extractor(iv, batch_size=8, endpoint="Mixed_3c")
+    extractor, fvd_prov, fvd_dim = resolve_extractor("MovingMNIST",
+                                                     batch_size=8)
 
     def to_rgb(v):  # [-0.5, 0.5] grayscale -> [-1, 1] rgb
         return np.repeat(2.0 * np.clip(v + 0.5, 0, 1) - 1.0, 3, axis=-1)
@@ -601,8 +603,8 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
         "fvd_recon_vs_gt": float(fvd_recon),
         "fvd_same_split_floor": float(fvd_floor),
         "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
-        "extractor": "mage_tpu.evals.i3d.I3D random-init seed 42, endpoint Mixed_3c (deep random features mean-field-collapse; shallow random projections discriminate — see I3D docstring)",
-        "feature_dim": 480,
+        "extractor": fvd_prov,
+        "feature_dim": fvd_dim,
     })
 
     few = np.asarray(jax.device_get(video[: args.gifs]))

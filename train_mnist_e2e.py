@@ -38,6 +38,7 @@ import numpy as np
 from mage_tpu.data import device_data as dd
 from mage_tpu.models.vqvae import VectorQuantizedVAE
 from mage_tpu.training import vqvae_trainer as vt
+from mage_tpu.training.autoresume import save_last, try_restore_last
 from mage_tpu.training.checkpoint import Checkpointer
 from mage_tpu.training.lr import epoch_lr
 from mage_tpu.training.mage_trainer import make_mage_tx
@@ -178,8 +179,14 @@ def stage1(args, dev, out_dir):
     chunks = max(round(steps_per_epoch / args.chunk), 1)
     rng = jax.random.PRNGKey(args.seed + 1)
     best = float("inf")
+    start_epoch = 0
+    resumed = try_restore_last(ckpt, {"train": state, "rng": rng})
+    if resumed is not None:
+        start_epoch, best, st = resumed
+        state, rng = st["train"], st["rng"]
+        print(f"stage-1 autoresume: epoch {start_epoch}, best mse {best:.6f}")
     t0 = time.time()
-    for epoch in range(args.stage1_epochs):
+    for epoch in range(start_epoch, args.stage1_epochs):
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
             state, loss = train_chunk(state, sub, args.lr1)
@@ -191,11 +198,12 @@ def stage1(args, dev, out_dir):
                 "phase": "stage1", "epoch": epoch, "train_loss": loss,
                 "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
                 "codebook_used": used,
-                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
             if mse < best:
                 best = mse
                 ckpt.save("best", jax.device_get(state))
+            save_last(ckpt, epoch, best, {"train": state, "rng": rng})
     ckpt.save("final", jax.device_get(state))
 
     # host-side SSIM + grids on a small fetched subset
@@ -368,8 +376,16 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
     rng = jax.random.PRNGKey(args.seed + 2)
     ckpt = Checkpointer(os.path.join(out_dir, "mage"))
     best = float("inf")
+    start_epoch = 0
+    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
+                                      "step": step, "rng": rng})
+    if resumed is not None:
+        start_epoch, best, st = resumed
+        params, opt_state = st["params"], st["opt_state"]
+        step, rng = st["step"], st["rng"]
+        print(f"stage-2 autoresume: epoch {start_epoch}, best {best:.4f}")
     t0 = time.time()
-    for epoch in range(args.stage2_epochs):
+    for epoch in range(start_epoch, args.stage2_epochs):
         lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
@@ -382,12 +398,16 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
             log_metrics(out_dir, {
                 "phase": "stage2", "epoch": epoch, "lr": lr, "train_loss": loss,
                 "val_loss": val_loss, "val_prediction": val_pred,
-                "sec_per_epoch": (time.time() - t0) / (epoch + 1),
+                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
             if val_loss < best:
                 best = val_loss
                 ckpt.save("best", {"step": jax.device_get(step),
                                    "params": jax.device_get(params)})
+            if epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
+                save_last(ckpt, epoch, best,
+                          {"params": params, "opt_state": opt_state,
+                           "step": step, "rng": rng})
     ckpt.save("final", {"step": jax.device_get(step),
                         "params": jax.device_get(params)})
     return params
