@@ -103,22 +103,25 @@ def resolve_extractor(dataset: str | None = None, batch_size: int = 8):
                 f"pytorch-i3d {os.path.basename(torch_ckpt)} (Kinetics), "
                 f"endpoint logits", 400)
 
-    path = os.environ.get("MAGE_FVD_EXTRACTOR", "runs/fvd_extractor")
-    prov_path = os.path.join(path, "provenance.json")
-    family_ok = False
-    if os.path.exists(prov_path) and dataset is not None:
+    env_path = os.environ.get("MAGE_FVD_EXTRACTOR")
+    candidates = ([env_path] if env_path
+                  else ["runs/fvd_extractor", "runs/fvd_extractor_mnist"])
+    for path in candidates:
+        prov_path = os.path.join(path, "provenance.json")
+        if not (os.path.exists(prov_path) and dataset is not None):
+            continue
         with open(prov_path) as fp:
             trained_on = json.load(fp).get("dataset", "")
         # v1/v2 share the visual world; an extractor trained on either
         # CATER family member transfers to the other
-        family_ok = trained_on.split("-")[0] == str(dataset).split("-")[0]
-    if family_ok:
+        if trained_on.split("-")[0] != str(dataset).split("-")[0]:
+            continue
         try:
             from mage_tpu.evals.i3d import load_trained_extractor
 
             return load_trained_extractor(path, batch_size=batch_size)
         except FileNotFoundError:
-            pass
+            continue
 
     import jax
     import jax.numpy as jnp
