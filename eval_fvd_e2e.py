@@ -110,10 +110,15 @@ def main(argv=None):
             rngs={"latent": jax.random.PRNGKey(7)},
         )
         video = pipeline.first_stage.decode(gen, variables=fs_variables)
-        gt = jax.vmap(
-            lambda i: dd.compose_clip(dev["bank"], d["digit"][i], d["ys"][i],
-                                      d["xs"][i], pos[i])
-        )(jnp.arange(g))
+        # flat single-level composition (nested vmap around compose_frames'
+        # internal one miscompiles under jit; see tests/test_device_data.py)
+        L = pos.shape[1]
+        rows = jnp.repeat(jnp.arange(g), L)
+        cols = pos.reshape(-1)
+        gt_flat = dd.compose_frames(
+            dev["bank"], jnp.repeat(d["digit"][:g], L),
+            d["ys"][rows, cols], d["xs"][rows, cols])
+        gt = gt_flat.reshape(g, L, *gt_flat.shape[1:])
         recon = pipeline.first_stage.decode(
             ids_val[:g][jnp.arange(g)[:, None], pos], variables=fs_variables
         )

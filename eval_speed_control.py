@@ -131,10 +131,15 @@ def main(argv=None):
 
         # ground truth + its VQ recon ceiling at every speed
         def gt_at(s):
+            # flat single-level composition (nested vmap around
+            # compose_frames' internal one miscompiles under jit; see
+            # tests/test_device_data.py nested-vmap regression)
             pos = dd.clip_indices(jnp.asarray(s), frames_length=L)
-            def one(i):
-                return dd.compose_clip(bank, digit[i], ys[i], xs[i], pos)
-            return jax.vmap(one)(jnp.arange(G))
+            rows = jnp.repeat(jnp.arange(G), L)
+            cols = jnp.tile(pos, G)
+            flat = dd.compose_frames(bank, jnp.repeat(digit[:G], L),
+                                     ys[rows, cols], xs[rows, cols])
+            return flat.reshape(G, L, *flat.shape[1:])
         gt = jnp.stack([gt_at(s) for s in args.speeds])  # (S,G,L,64,64,1)
         flat = gt[:, :, 1:].reshape(-1, 64, 64, 1)
         rec = model.apply(fs_vars, model.apply(fs_vars, flat, method="encode",

@@ -154,12 +154,18 @@ def main(argv=None):
     # measurement ceiling: identical window/gating/tracker on GT pixel
     # clips at the probe's speed — validates (frames, min-room) before any
     # model conclusion is drawn
-    from train_mnist2_e2e import clip_pixels
+    from train_mnist2_e2e import frames_at
 
     pos = jax.vmap(
         lambda ln: dd.clip_indices_var(jnp.float32(0.5), ln, L)
     )(d["length"][:G])
-    gt = jax.vmap(lambda i: clip_pixels(dev, "val", i, pos[i]))(jnp.arange(G))
+    # flat single-level composition (vmapping clip_pixels over the clip
+    # index nests a second vmap around compose_frames_double's internal
+    # one, which XLA miscompiles under jit; see tests/test_device_data.py
+    # nested-vmap regression)
+    gt_flat = frames_at(dev, "val", jnp.repeat(jnp.arange(G), L),
+                        pos.reshape(-1))
+    gt = gt_flat.reshape(G, L, *gt_flat.shape[1:])
     score("gt_ceiling", text_true,
           np.asarray(jax.device_get(gt))[:, 1:, ..., 0])
     if args.ceiling_only:

@@ -55,9 +55,13 @@ def gt_latents_single(args, model, variables, dev, B, L):
 
     @jax.jit
     def enc(variables, digit, ys, xs):
-        def one(i):
-            return dd.compose_clip(dev["bank"], digit[i], ys[i], xs[i], pos[i])
-        frames = jax.vmap(one)(jnp.arange(B)).reshape(-1, 64, 64, 1)
+        # flat single-level composition (nested vmap around compose_frames'
+        # internal one miscompiles under jit; see tests/test_device_data.py
+        # nested-vmap regression)
+        rows = jnp.repeat(jnp.arange(B), L)
+        cols = pos.reshape(-1)
+        frames = dd.compose_frames(dev["bank"], jnp.repeat(digit[:B], L),
+                                   ys[rows, cols], xs[rows, cols])
         ids = model.apply(variables, frames, method="encode", mutable=False)
         return ids.reshape(B, L, *ids.shape[1:]).astype(jnp.int32)
 

@@ -47,6 +47,12 @@ CASES: dict[str, tuple[dict[str, str], str]] = {
     "klup_phased": ({"MAGE_KL_UP": "phased"}, "mage+"),
     # direct VQ Pallas kernel incl. straight-through gradient
     "vq_kernel": ({}, "vq"),
+    # XLA:TPU nested-vmap gather+compose miscompile canary (round 4): the
+    # flat form every eval uses must be bit-exact vs a numpy reference; the
+    # nested form's divergence is reported (it corrupted every on-chip GT
+    # composition until the r4 flat-form fix). CPU twin:
+    # tests/test_device_data.py::test_nested_vmap_gather_compose_clean_on_cpu
+    "nested_vmap_compose": ({}, "compose"),
 }
 
 
@@ -120,11 +126,80 @@ def run_vq() -> float:
     return float(fwd_bwd(z_e, codebook))
 
 
+def run_compose() -> float:
+    """On-chip GT-composition exactness: flat single-level form (used by
+    every eval) vs a host numpy reference, plus the nested-vmap form's
+    divergence as a canary. Fails iff the FLAT form is not bit-exact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import mage_tpu.data.device_data as dd
+    import mage_tpu.data.generators.cater_synthetic as cs
+
+    compact = cs.build_compact_cater(2, 12, 0, dataset="CATER-GEN-v2",
+                                     context_length=38)
+    bank_np = np.concatenate(
+        [compact["bank"][..., :3].astype(np.float32) / 127.5 - 1.0,
+         compact["bank"][..., 3:].astype(np.float32)], axis=-1)
+    bg_np = compact["background"].astype(np.float32) / 127.5 - 1.0
+    val = compact["val"]
+    G, L = 8, 10
+    T = val["sid"].shape[1]
+    pos = np.stack([np.clip(np.arange(L) * (T - 1) // (L - 1) + k % 3,
+                            0, T - 1) for k in range(G)]).astype(np.int32)
+
+    # numpy reference — mirrors compose_frames_cater (alpha-masked paste in
+    # painter's order; dynamic_slice clamp semantics)
+    sp, hw = bank_np.shape[1], bg_np.shape[0]
+    ref = np.empty((G, L, hw, hw, 3), np.float32)
+    for k in range(G):
+        for j, t in enumerate(pos[k]):
+            img = bg_np.copy()
+            for s in range(val["sid"].shape[2]):
+                spr = bank_np[val["sid"][k, t, s]]
+                y = min(max(int(val["top"][k, t, s]), 0), hw - sp)
+                x = min(max(int(val["left"][k, t, s]), 0), hw - sp)
+                patch = img[y:y + sp, x:x + sp, :3]
+                img[y:y + sp, x:x + sp, :3] = np.where(
+                    spr[..., 3:4] > 0, spr[..., :3], patch)
+            ref[k, j] = img
+
+    bank = jnp.asarray(bank_np)
+    background = jnp.asarray(bg_np)
+    d = {k2: jnp.asarray(val[k2]) for k2 in ("sid", "top", "left")}
+    pos_d = jnp.asarray(pos)
+    ref_d = jnp.asarray(ref)
+
+    def frames_at(idx, t):
+        return dd.compose_frames_cater(bank, background,
+                                       d["sid"][idx, t], d["top"][idx, t],
+                                       d["left"][idx, t])
+
+    @jax.jit
+    def diffs():
+        flat = frames_at(jnp.repeat(jnp.arange(G), L),
+                         pos_d.reshape(-1)).reshape(G, L, hw, hw, 3)
+        nested = jax.vmap(
+            lambda i: frames_at(jnp.broadcast_to(i, (L,)), pos_d[i])
+        )(jnp.arange(G))
+        return (jnp.max(jnp.abs(flat - ref_d)),
+                jnp.max(jnp.abs(nested - ref_d)))
+
+    d_flat, d_nested = (float(x) for x in diffs())
+    print(f"flat max|err|={d_flat} nested max|err|={d_nested} "
+          f"({'KNOWN MISCOMPILE still present' if d_nested > 0 else 'nested clean — XLA may have fixed it'})")
+    assert d_flat == 0.0, f"FLAT composition diverged on chip: {d_flat}"
+    return d_nested
+
+
 def run_case(name: str) -> float:
     env, runner = CASES[name]
     os.environ.update(env)
     if runner == "vq":
         return run_vq()
+    if runner == "compose":
+        return run_compose()
     return run_generate(runner)
 
 

@@ -234,3 +234,110 @@ def test_clip_indices_var_matches_dataset_sampling():
             dd.clip_indices_var(jnp.float32(speed), jnp.int32(length), 16)
         )
         np.testing.assert_array_equal(got, ref, err_msg=f"{length} {speed}")
+
+
+# ---------------------------------------------------------------------------
+# Nested-vmap gather+compose regression (round 4).
+#
+# XLA:TPU miscompiles  jit(vmap(i -> compose(table[i, pos_i], ...)))  — an
+# outer vmap over the clip index wrapped around a compose_frames* (which
+# carries its own internal vmap over frames) with the per-clip table gather
+# fused into the same jit program. The output frames get wrong sprites /
+# alpha-box artifacts (max pixel error ~0.92 on CATER shapes, at table
+# sizes as small as 12 clips). The CPU backend is CLEAN — early "CPU
+# repros" were silently running on the axon TPU backend (in-script
+# JAX_PLATFORMS=cpu is too late: sitecustomize imports jax at interpreter
+# start; only shell-level env or jax.config.update works). Un-jitted
+# loops, pre-gathered tables, and the FLAT single-level form are bit-exact
+# vs numpy on BOTH backends.
+#
+# Every eval/probe GT-composition site therefore uses the flat form:
+#   frames_at(repeat(arange(G), L), pos.reshape(-1)).reshape(G, L, ...)
+# These CPU tests pin the flat form's exactness against the un-jitted
+# per-clip loop; the on-chip twin of the nested-vs-flat check lives in
+# scripts/kernel_smoke.py (case nested_vmap_compose), where the bug
+# actually fires.
+# ---------------------------------------------------------------------------
+
+
+def _cater_tables(n_val=12):
+    import mage_tpu.data.generators.cater_synthetic as cs
+
+    compact = cs.build_compact_cater(2, n_val, 0, dataset="CATER-GEN-v2",
+                                     context_length=38)
+    norm = lambda u8: jnp.asarray(u8, jnp.float32) / 127.5 - 1.0  # noqa: E731
+    bank = jnp.concatenate(
+        [norm(compact["bank"][..., :3]),
+         jnp.asarray(compact["bank"][..., 3:], jnp.float32)], axis=-1)
+    background = norm(compact["background"])
+    d = {k: jnp.asarray(v) for k, v in compact["val"].items() if k != "meta"}
+
+    def frames_at(idx, t):
+        return dd.compose_frames_cater(bank, background,
+                                       d["sid"][idx, t], d["top"][idx, t],
+                                       d["left"][idx, t])
+
+    G, L, T = 8, 10, d["sid"].shape[1]
+    i10 = jnp.arange(L, dtype=jnp.int32)
+    pos = jnp.stack([jnp.clip((i10 * (T - 1)) // (L - 1) + k % 3, 0, T - 1)
+                     for k in range(G)])
+    ref = np.stack([np.asarray(frames_at(jnp.full((L,), k), pos[k]))
+                    for k in range(G)])
+    return frames_at, pos, ref, (G, L)
+
+
+def test_eval_gt_flat_composition_is_exact_cater():
+    """The flat single-level GT composition used by every eval — gather at
+    concrete (clip, frame) index pairs, one compose_frames_cater call — is
+    bit-exact vs the un-jitted per-clip loop under jit."""
+    import jax
+
+    frames_at, pos, ref, (G, L) = _cater_tables()
+    flat = jax.jit(
+        lambda: frames_at(jnp.repeat(jnp.arange(G), L),
+                          pos.reshape(-1)).reshape(G, L, *ref.shape[2:])
+    )()
+    np.testing.assert_array_equal(np.asarray(flat), ref)
+
+
+def test_nested_vmap_gather_compose_clean_on_cpu():
+    """The nested form that XLA:TPU miscompiles is exact on the CPU
+    backend — pins that the corruption is TPU-specific (the on-chip canary
+    is kernel_smoke.py case nested_vmap_compose). If this test ever fails,
+    the miscompile has spread to CPU and every CPU-side GT/probe result
+    needs re-auditing."""
+    import jax
+
+    frames_at, pos, ref, (G, L) = _cater_tables()
+    nested = jax.jit(lambda: jax.vmap(
+        lambda i: frames_at(jnp.broadcast_to(i, (L,)), pos[i])
+    )(jnp.arange(G)))()
+    np.testing.assert_array_equal(np.asarray(nested), ref)
+
+
+def test_eval_gt_flat_composition_is_exact_mnist_single():
+    """Flat form vs per-clip loop for the single-MNIST compose family
+    (compose_frames / compose_clip)."""
+    import jax
+
+    compact = _compact_replay(seed=3, num=8, samples_per_digit=5)
+    bank = dd.normalize_bank(compact["bank"])
+    d = {k: jnp.asarray(v) for k, v in compact["train"].items()}
+    G, L = 8, 10
+    pos = jnp.stack([
+        dd.clip_indices(jnp.float32(0.1 * k), frames_length=L)
+        for k in range(G)
+    ])
+    ref = np.stack([
+        np.asarray(dd.compose_clip(bank, d["digit"][k], d["ys"][k],
+                                   d["xs"][k], pos[k]))
+        for k in range(G)
+    ])
+    rows, cols = jnp.repeat(jnp.arange(G), L), pos.reshape(-1)
+    flat = jax.jit(
+        lambda: dd.compose_frames(
+            bank, jnp.repeat(d["digit"][:G], L),
+            d["ys"][rows, cols], d["xs"][rows, cols]
+        ).reshape(G, L, *ref.shape[2:])
+    )()
+    np.testing.assert_array_equal(np.asarray(flat), ref)

@@ -609,10 +609,15 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
         video = pipeline.first_stage.decode(gen, variables=fs_vars,
                                             max_chunk=128)
         idxg = jnp.arange(g)
-        gt = jax.vmap(
-            lambda i: frames_at(dev, split, jnp.broadcast_to(i, pos.shape[1:]),
-                                pos[i])
-        )(idxg)
+        # flat single-level composition: vmapping frames_at over the clip
+        # index nests a second vmap around compose_frames_cater's internal
+        # one, which XLA miscompiles (wrong sprites / alpha-box artifacts,
+        # ~19 dB gt corruption; see tests/test_device_data.py nested-vmap
+        # regression). The flat form matches the (proven bit-exact)
+        # stage-1 / materialize_latents call shape.
+        gt = frames_at(
+            dev, split, jnp.repeat(idxg, pos.shape[1]), pos.reshape(-1)
+        ).reshape(g, pos.shape[1], 128, 128, 3)
         recon_gt = pipeline.first_stage.decode(
             ids[:g][idxg[:, None], pos], variables=fs_vars, max_chunk=128
         )
@@ -669,7 +674,7 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
     few_gt = np.asarray(gt_np[: args.gifs], np.float32)
     os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
     for i in range(few.shape[0]):
-        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2) / 2.0
+        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2)
         save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
     return mse_gen
 

@@ -463,10 +463,14 @@ def eval_generation(args, pipeline, params, dev, compact, mom, split,
 
     @jax.jit
     def run_both(p):
-        gt = jax.vmap(
-            lambda i: ce.frames_at(
-                dev, split, jnp.broadcast_to(i, pos.shape[1:]), pos[i])
-        )(idxg)
+        # flat single-level composition: vmapping frames_at over the clip
+        # index nests a second vmap around compose_frames_cater's internal
+        # one, which XLA miscompiles (wrong sprites / alpha-box artifacts;
+        # see tests/test_device_data.py nested-vmap regression). The flat
+        # form matches the proven materialize call shape.
+        gt_flat = ce.frames_at(
+            dev, split, jnp.repeat(idxg, pos.shape[1]), pos.reshape(-1))
+        gt = gt_flat.reshape(g, pos.shape[1], *gt_flat.shape[1:])
         out = {}
         for name, method in (("cached", "generate_cached"),
                              ("naive", "generate")):
@@ -593,10 +597,10 @@ def eval_generation(args, pipeline, params, dev, compact, mom, split,
     few_gt = gt_np[: args.gifs].astype(np.float32)
     os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
     for i in range(few.shape[0]):
-        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2) / 2.0
+        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2)
         save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
     strip = np.concatenate(
-        [vids[k, 0] for k in range(min(K, 4))], axis=2) / 2.0
+        [vids[k, 0] for k in range(min(K, 4))], axis=2)
     save_gif(strip, os.path.join(out_dir, "gifs", f"{split}_diversity.gif"))
 
 

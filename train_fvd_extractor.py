@@ -222,14 +222,17 @@ def prepare_mnist(args) -> DatasetSpec:
            for s in ("train", "val")}
 
     def clips_at(split, idx, pos):
+        # flat single-level composition (vmapping compose_clip over the
+        # clip index nests a second vmap around compose_frames' internal
+        # one, which XLA miscompiles under jit; see tests/test_device_data
+        # nested-vmap regression). Mirrors prepare_cater's proven shape.
         d = dev[split]
-
-        def one(i, p):
-            clip = dd.compose_clip(bank, d["digit"][i], d["ys"][i],
-                                   d["xs"][i], p)
-            return jnp.repeat(2.0 * clip, 3, axis=-1)  # [-.5,.5] gray->rgb
-
-        return jax.vmap(one)(idx, pos)
+        B, L = pos.shape
+        rows, cols = jnp.repeat(idx, L), pos.reshape(-1)
+        flat = dd.compose_frames(bank, jnp.repeat(d["digit"][idx], L),
+                                 d["ys"][rows, cols], d["xs"][rows, cols])
+        clips = flat.reshape(B, L, *flat.shape[1:])
+        return jnp.repeat(2.0 * clips, 3, axis=-1)  # [-.5,.5] gray->rgb
 
     def positions(speed, L):
         return jax.vmap(lambda s: dd.clip_indices(s, frames_length=L))(speed)

@@ -545,7 +545,14 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
             rngs={"latent": jax.random.PRNGKey(7)},
         )
         video = pipeline.first_stage.decode(gen, variables=fs_vars)
-        gt = jax.vmap(lambda i: clip_pixels(dev, split, i, pos[i]))(jnp.arange(g))
+        # flat single-level composition: vmapping clip_pixels over the clip
+        # index nests a second vmap around compose_frames_double's internal
+        # one, which XLA miscompiles (see tests/test_device_data.py
+        # nested-vmap regression). Matches materialize_latents' call shape.
+        L = pos.shape[1]
+        gt_flat = frames_at(dev, split, jnp.repeat(jnp.arange(g), L),
+                            pos.reshape(-1))
+        gt = gt_flat.reshape(g, L, *gt_flat.shape[1:])
         recon_gt = pipeline.first_stage.decode(
             ids_g[jnp.arange(g)[:, None], pos], variables=fs_vars
         )
@@ -611,7 +618,7 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
     few_gt = np.asarray(jax.device_get(gt[: args.gifs]))
     os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
     for i in range(few.shape[0]):
-        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2)
+        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2) * 2.0
         save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
     return mse_gen
 

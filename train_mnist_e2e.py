@@ -431,11 +431,18 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
             rngs={"latent": jax.random.PRNGKey(7)},
         )
         video = pipeline.first_stage.decode(gen, variables=fs_vars)
-        # ground-truth pixels for the same clips, composed on device
-        def gt_one(i):
-            return dd.compose_clip(bank, d["digit"][i], d["ys"][i], d["xs"][i],
-                                   pos[i])
-        gt = jax.vmap(gt_one)(jnp.arange(g))
+        # ground-truth pixels for the same clips, composed on device.
+        # Flat single-level composition: vmapping compose_clip over the
+        # clip index nests a second vmap around compose_frames' internal
+        # one, which XLA miscompiles (see tests/test_device_data.py
+        # nested-vmap regression). Matches materialize_latents' call shape.
+        L = pos.shape[1]
+        rows = jnp.repeat(jnp.arange(g), L)
+        cols = pos.reshape(-1)
+        gt_flat = dd.compose_frames(
+            bank, jnp.repeat(d["digit"][:g], L),
+            d["ys"][rows, cols], d["xs"][rows, cols])
+        gt = gt_flat.reshape(g, L, *gt_flat.shape[1:])
         recon_gt = pipeline.first_stage.decode(
             ids[:g][jnp.arange(g)[:, None], pos], variables=fs_vars
         )
@@ -455,7 +462,7 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
     few_gt = np.asarray(jax.device_get(gt[: args.gifs]))
     os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
     for i in range(few.shape[0]):
-        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2)  # GT | generated
+        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2) * 2.0  # GT | generated; x2: [-0.5,0.5] -> gif's [-1,1]
         save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
     return mse_gen
 

@@ -494,10 +494,17 @@ def eval_generation(args, pipeline, params, dev, mom, split, out_dir):
         lat0 = lat0.astype(compute_dtype)
 
     def gt_pixels():
-        def one(i):
-            return dd.compose_clip(bank, d["digit"][i], d["ys"][i], d["xs"][i],
-                                   pos[i])
-        return jax.vmap(one)(jnp.arange(g))
+        # flat single-level composition: vmapping compose_clip over the
+        # clip index nests a second vmap around compose_frames' internal
+        # one, which XLA miscompiles (see tests/test_device_data.py
+        # nested-vmap regression). Matches materialize_moments' call shape.
+        L = pos.shape[1]
+        rows = jnp.repeat(jnp.arange(g), L)
+        cols = pos.reshape(-1)
+        flat = dd.compose_frames(
+            bank, jnp.repeat(d["digit"][:g], L),
+            d["ys"][rows, cols], d["xs"][rows, cols])
+        return flat.reshape(g, L, *flat.shape[1:])
 
     @jax.jit
     def run_both(p):
@@ -604,7 +611,7 @@ def eval_generation(args, pipeline, params, dev, mom, split, out_dir):
     few_gt = gt_np[: args.gifs]
     os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
     for i in range(few.shape[0]):
-        side = np.concatenate([few_gt[i], few[i]], axis=2)
+        side = np.concatenate([few_gt[i], few[i]], axis=2) * 2.0
         save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
     # diversity strip: K draws of prompt 0 side by side
     strip = np.concatenate([vids[k, 0] for k in range(min(K, 4))], axis=2)
