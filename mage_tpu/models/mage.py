@@ -483,7 +483,11 @@ class MAGECore(nn.Module):
         else:
             for block in self.conv3d:
                 h = block(h, train=train)
-        h = h.squeeze(1)  # T collapsed to 1
+        # The pyramid's fixed stride-2 stack collapses T=frames_length to 1
+        # at the reference's 16 frames; longer clips (BENCH_FRAMES=64 KV-
+        # quant study) leave a residual T axis, pooled here — identical to
+        # the reference's squeeze for T==1, mean-pool otherwise.
+        h = h.mean(axis=1) if h.shape[1] > 1 else h.squeeze(1)
         return self.conv_mu2(h), self.conv_var2(h)
 
     def speed_l2(self, speed: jax.Array) -> jax.Array:
