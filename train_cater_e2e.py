@@ -528,6 +528,7 @@ def precision_metrics(videos: np.ndarray, metas: list, bank_index: dict,
     its destination is the visible target object, determined regardless of
     caption mode."""
     acts, refs = [], []
+    by_action: dict = {}
     for vid, meta in zip(videos, metas):
         frame_last = (vid[-1] + 1.0) * 127.5
         by_name = {o["instance"]: o for o in meta["objects"]}
@@ -564,7 +565,8 @@ def precision_metrics(videos: np.ndarray, metas: list, bank_index: dict,
                 tpos = tgt["locations"]["1"][:2]
                 tgt_visible = best_near(frame_last, tgt,
                                         (tpos[0], tpos[1], 0.0))
-                acts.append(at_end >= tau and tgt_visible < tau)
+                ok = at_end >= tau and tgt_visible < tau
+                acts.append(ok)
                 refs.append(at_end >= tau)
             else:  # _slide / _pick_place: moved to destination, left start
                 if quadrant_level:
@@ -572,17 +574,24 @@ def precision_metrics(videos: np.ndarray, metas: list, bank_index: dict,
                           1.5 if end[1] >= 0 else -1.5)
                     at_end = best_near(frame_last, o, (qc[0], qc[1], 0.0),
                                        radius=26)
-                moved = at_end >= tau and (
+                ok = at_end >= tau and (
                     at_start < tau
                     or np.hypot(end[0] - start[0], end[1] - start[1]) < 1.0
                 )
-                acts.append(moved)
+                acts.append(ok)
                 refs.append(at_end >= tau)
+            by_action.setdefault(action, []).append(ok)
     return {
         "action_precision": float(np.mean(acts)) if acts else 0.0,
         "referring_precision": float(np.mean(refs)) if refs else 0.0,
         "action_cases": len(acts),
         "referring_cases": len(refs),
+        # which semantics fail, not just how many: per-action-type
+        # precision (counts in *_cases) localizes gen failures to e.g.
+        # containment vs slide endpoints when tuning the stage-2 recipe
+        "per_action": {
+            k: [float(np.mean(v)), len(v)] for k, v in sorted(by_action.items())
+        },
     }
 
 
