@@ -82,6 +82,12 @@ def _row(name: str, phase: str, rec: dict) -> str:
             if k not in ("phase", "time") and isinstance(v, (int, float))}
     kv = ", ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                    for k, v in list(keep.items())[:8])
+    # per-action precision breakdown ({action: [precision, cases]})
+    pa = rec.get("per_action")
+    if isinstance(pa, dict):
+        kv += ", " + " ".join(
+            f"{k.lstrip('_')}={p:.2f}({n})" for k, (p, n) in sorted(pa.items())
+        )
     return f"| {name} | {phase} | {kv} |"
 
 
