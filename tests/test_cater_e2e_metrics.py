@@ -41,6 +41,12 @@ def test_gt_precision_ceiling_near_one():
     assert pm["action_cases"] == 32  # two movers per scene
     assert pm["action_precision"] >= 0.9
     assert pm["referring_precision"] >= 0.95
+    # per-action breakdown is an exact partition of the aggregate
+    per = pm["per_action"]
+    assert set(per) <= {"_rotate", "_contain", "_slide", "_pick_place"}
+    assert sum(n for _, n in per.values()) == pm["action_cases"]
+    weighted = sum(p * n for p, n in per.values()) / pm["action_cases"]
+    assert abs(weighted - pm["action_precision"]) < 1e-9
 
 
 def test_background_does_not_match_sprites():
