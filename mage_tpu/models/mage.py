@@ -504,12 +504,29 @@ class MAGECore(nn.Module):
         speed: Optional[jax.Array] = None,
         train: bool = True,
         test_flag: bool = False,
+        context_latents: Optional[jax.Array] = None,
     ) -> dict:
         """Teacher-forced forward (reference :575-639). Returns raw loss
-        terms; beta/alpha weighting happens in the train step."""
+        terms; beta/alpha weighting happens in the train step.
+
+        ``context_latents`` (optional) decouples the conditioning stream
+        from the loss targets: the decoder context (stem input) comes from
+        ``context_latents`` while labels/targets, the video posterior, and
+        the motion-loss weights still use the ground-truth ``latents``.
+        Scheduled-sampling-style training against AR drift: passing a
+        frame-0-repeated context teaches the model to produce the caption's
+        motion even when the conditioning stream is static — exactly the
+        degenerate context the AR rollout collapses into (measured in
+        scripts/diag_magep_semantic.py: teacher-forced motion energy 0.60
+        vs rollout 0.005 on the same checkpoint). None = reference-exact
+        teacher forcing (mage_model.py:586-588)."""
         x_emb = self.embed_latents(latents)
         b = x_emb.shape[0]
-        prior_img = self.stem(x_emb[:, : self.frames_length - 1])
+        ctx_emb = (
+            x_emb if context_latents is None
+            else self.embed_latents(context_latents)
+        )
+        prior_img = self.stem(ctx_emb[:, : self.frames_length - 1])
         first_tokens = prior_img[:, 0].reshape(b, -1, x_emb.shape[-1])
         text_emb = self.text_encoder(text, train=train)
 

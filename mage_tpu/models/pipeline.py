@@ -298,9 +298,16 @@ class MagePipeline:
                 jnp.asarray(batch["images"]), enc_rng, fs_variables
             )
         speed = batch.get("speed")
+        context = batch.get("context_latents")
+        if context is not None:
+            context = jnp.asarray(context)
         if compute_dtype is not None:
             if jnp.issubdtype(latents.dtype, jnp.floating):
                 latents = latents.astype(compute_dtype)
+            if context is not None and jnp.issubdtype(
+                context.dtype, jnp.floating
+            ):
+                context = context.astype(compute_dtype)
             if speed is not None:
                 speed = jnp.asarray(speed).astype(compute_dtype)
         out = self.core.apply(
@@ -310,6 +317,7 @@ class MagePipeline:
             speed,
             train=train,
             test_flag=test_flag,
+            context_latents=context,
             rngs={"dropout": drop_rng, "latent": lat_rng},
         )
         out.pop("predict")

@@ -75,6 +75,12 @@ def parse_args(argv=None):
     p.add_argument("--stage2-epochs", type=int, default=40)
     p.add_argument("--batch2", type=int, default=16)
     p.add_argument("--lr2", type=float, default=5e-5)
+    p.add_argument("--static-context-prob", type=float, default=0.0,
+                   help="per-sample probability of replacing the teacher-"
+                   "forced context with frame-0-repeated (targets stay GT) "
+                   "— anti-AR-drift augmentation; see "
+                   "scripts/diag_magep_semantic.py")
+    p.add_argument("--motion-loss-weight", type=float, default=0.0)
     p.add_argument("--v-kl", type=float, default=None,
                    help="override the config's PID KL target (yaml: 100)")
     p.add_argument("--frames-length", type=int, default=10)
@@ -261,6 +267,8 @@ def build_pipeline(args, ae_model, ae_params):
     p.generate_decoder_config.params.frames_length = args.frames_length
     if args.v_kl is not None:
         p.v_kl = args.v_kl
+    if args.motion_loss_weight:
+        p.motion_loss_weight = args.motion_loss_weight
     if args.tiny:
         p.vision_width = 64
         p.text_encoder_config.params.transformer_width = 64
@@ -316,13 +324,22 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
     compute_dtype = jnp.bfloat16 if args.bf16 else None
 
     def batch_at(rng, mom, text):
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
         idx = jax.random.randint(k1, (b,), 0, n)
         speed = jax.random.uniform(k2, (b,))
         pos = jax.vmap(
             lambda s: ce.clip_positions(s, args.frames_length))(speed)
         lat = sample_latents(mom[idx[:, None], pos], k3, lv_shift)
-        return {"latents": lat, "text": text[idx], "speed": speed}
+        batch = {"latents": lat, "text": text[idx], "speed": speed}
+        if args.static_context_prob > 0:
+            # anti-drift augmentation: for a random subset of the batch the
+            # decoder conditions on the frame-0-repeated (static) context the
+            # AR rollout degenerates into, while the loss targets stay GT
+            static = jnp.broadcast_to(lat[:, :1], lat.shape)
+            pick = jax.random.bernoulli(
+                k4, args.static_context_prob, (b,))[:, None, None, None, None]
+            batch["context_latents"] = jnp.where(pick, static, lat)
+        return batch
 
     def loss_fn(params, batch, rng, pid_state):
         if compute_dtype is not None:
