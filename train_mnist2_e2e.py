@@ -89,6 +89,12 @@ def parse_args(argv=None):
                    help="opt-in early-frame loss upweighting "
                         "(MAGECore.early_loss_weight; 0 = reference-exact)")
     p.add_argument("--early-loss-frames", type=int, default=3)
+    p.add_argument("--codebook-restart", action="store_true",
+                   help="re-seed dead codebook entries every other epoch "
+                        "from encoder features (the CATER stage-1 fix that "
+                        "lifted 37->391 codes; the mnist2 flagship stage-1 "
+                        "uses 7/512 codes and its recon ceilings bound every "
+                        "downstream metric; off = reference parity)")
     p.add_argument("--tiny", action="store_true")
     return p.parse_args(argv)
 
@@ -192,6 +198,10 @@ def stage1(args, dev, out_dir):
         used = jnp.unique(ids, size=args.codebook, fill_value=-1)
         return jnp.mean((recon - frames) ** 2), jnp.sum(used >= 0), frames, recon
 
+    restart_fn = None
+    if args.codebook_restart:
+        restart_fn = jax.jit(vt.make_restart_dead_codes(model))
+
     steps_per_epoch = max(n // b, 1)
     chunks = max(round(steps_per_epoch / args.chunk), 1)
     rng = jax.random.PRNGKey(args.seed + 1)
@@ -207,6 +217,12 @@ def stage1(args, dev, out_dir):
         for _ in range(chunks):
             rng, sub = jax.random.split(rng)
             state, loss = train_chunk(state, sub, args.lr1)
+        if restart_fn is not None and epoch % 2 == 1:
+            rng, k1, k2, k3 = jax.random.split(rng, 4)
+            s = jax.random.randint(k1, (64,), 0, n)
+            f = jax.random.randint(k2, (64,), 0, T_STORED)
+            state, _n_dead = restart_fn(state, frames_at(dev, "train", s, f),
+                                        k3)
         if epoch % 10 == 0 or epoch == args.stage1_epochs - 1:
             loss = float(jax.device_get(loss))
             mse, used, frames, recon = eval_recon(state, jnp.int32(0))
