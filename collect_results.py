@@ -82,12 +82,18 @@ def _row(name: str, phase: str, rec: dict) -> str:
             if k not in ("phase", "time") and isinstance(v, (int, float))}
     kv = ", ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                    for k, v in list(keep.items())[:8])
-    # per-action precision breakdown ({action: [precision, cases]})
+    # per-action precision breakdown ({action: [precision, cases]});
+    # tolerate historical files with a differently-shaped field — one
+    # malformed record must not kill the whole SUMMARY regeneration
     pa = rec.get("per_action")
     if isinstance(pa, dict):
-        kv += ", " + " ".join(
-            f"{k.lstrip('_')}={p:.2f}({n})" for k, (p, n) in sorted(pa.items())
-        )
+        cells = []
+        for k, v in sorted(pa.items()):
+            if (isinstance(v, (list, tuple)) and len(v) == 2
+                    and all(isinstance(x, (int, float)) for x in v)):
+                cells.append(f"{str(k).lstrip('_')}={v[0]:.2f}({v[1]})")
+        if cells:
+            kv += ", " + " ".join(cells)
     return f"| {name} | {phase} | {kv} |"
 
 

@@ -109,18 +109,32 @@ def resolve_extractor(dataset: str | None = None, batch_size: int = 8):
     for path in candidates:
         prov_path = os.path.join(path, "provenance.json")
         if not (os.path.exists(prov_path) and dataset is not None):
+            if env_path:  # explicit request must fail loudly, not fall
+                raise FileNotFoundError(
+                    f"MAGE_FVD_EXTRACTOR={env_path}: provenance.json missing "
+                    f"(or dataset=None at the call site) — refusing to fall "
+                    f"back to the random-init extractor the caller "
+                    f"explicitly asked to avoid")
             continue
         with open(prov_path) as fp:
             trained_on = json.load(fp).get("dataset", "")
         # v1/v2 share the visual world; an extractor trained on either
         # CATER family member transfers to the other
         if trained_on.split("-")[0] != str(dataset).split("-")[0]:
+            if env_path:
+                raise ValueError(
+                    f"MAGE_FVD_EXTRACTOR={env_path}: trained on "
+                    f"'{trained_on}' but the eval dataset is '{dataset}' — "
+                    f"refusing the family mismatch; unset the env var to "
+                    f"allow auto-discovery/random-init")
             continue
         try:
             from mage_tpu.evals.i3d import load_trained_extractor
 
             return load_trained_extractor(path, batch_size=batch_size)
         except FileNotFoundError:
+            if env_path:
+                raise
             continue
 
     import jax

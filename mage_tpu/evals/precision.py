@@ -64,7 +64,7 @@ _NONVERB_ING = frozenset(
 _NONVERB_ED = frozenset("red speed indeed hundred bed seed".split())
 
 
-def _is_verb(tok: str) -> bool:
+def _is_verb(tok: str, prev: Optional[str] = None) -> bool:
     t = tok.lower()
     if t in _AUX:
         return False
@@ -73,7 +73,13 @@ def _is_verb(tok: str) -> bool:
     if t.endswith("ing") and len(t) >= 5 and t not in _NONVERB_ING:
         return True
     if t.endswith("ed") and len(t) >= 5 and t not in _NONVERB_ED:
-        return True
+        # participle usage only ("is pushed"): an attributive -ed token in
+        # free text ("the colored cube", "a rounded object") is an
+        # adjective spacy would tag ADJ, and treating it as the verb
+        # truncated subject-attribute extraction at the wrong place
+        # (ADVICE r4). Lexicon entries above are exempt — they match in
+        # any position, like the reference's literal-text branch.
+        return prev is not None and prev.lower() in _AUX
     return False
 
 
@@ -87,7 +93,8 @@ def sen_parse(text: str, mode: str = "ambiguous") -> list[dict]:
     parsing = []
     for sen in sentences:
         toks = _tokenize(sen)
-        verbs = [t for t in toks if _is_verb(t)]
+        verbs = [t for i, t in enumerate(toks)
+                 if _is_verb(t, toks[i - 1] if i else None)]
         if not verbs:
             sub_att = [t for t in toks if t in ATTRIBUTES]
             parsing.append({"subject": sub_att, "motion": None, "object": None})

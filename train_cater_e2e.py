@@ -444,14 +444,18 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
                 "val_prediction": val_pred,
                 "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
-            if val_loss < best:
+            improved = val_loss < best
+            if improved:
                 best = val_loss
                 ckpt.save("best", {"step": jax.device_get(step),
                                    "params": jax.device_get(params)})
             # full-state resume point every 10 epochs (the opt_state fetch
             # is ~3x a best-save; 10-epoch cadence bounds it at <2% of
-            # train time while capping crash loss at ~7 min)
-            if epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
+            # train time while capping crash loss at ~7 min) AND on every
+            # best improvement — otherwise a crash between "best" and the
+            # next "last" resumes with a stale best metric and overwrites
+            # the true pre-crash best checkpoint
+            if improved or epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
                 save_last(ckpt, epoch, best,
                           {"params": params, "opt_state": opt_state,
                            "step": step, "rng": rng})

@@ -440,11 +440,15 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
                 "val_loss": val_loss, "val_prediction": val_pred,
                 "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
             })
-            if val_loss < best:
+            improved = val_loss < best
+            if improved:
                 best = val_loss
                 ckpt.save("best", {"step": jax.device_get(step),
                                    "params": jax.device_get(params)})
-            if epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
+            # save_last also on improvement: a crash between "best" and the
+            # next 10-epoch "last" would otherwise resume with a stale best
+            # metric and overwrite the true pre-crash best checkpoint
+            if improved or epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
                 save_last(ckpt, epoch, best,
                           {"params": params, "opt_state": opt_state,
                            "step": step, "pid": pid_state, "rng": rng})

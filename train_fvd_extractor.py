@@ -350,6 +350,18 @@ def main(argv=None):
         opt_state, rng = st["opt_state"], st["rng"]
         print(f"autoresume: epoch {start_epoch}, best {best:.4f}")
     y_val_np = np.asarray(y_val)
+
+    def val_metrics():
+        logits = np.asarray(jax.device_get(
+            eval_batch(params, batch_stats, jnp.int32(0))))
+        labels = y_val_np[:eval_b]
+        per_label = float(np.mean((logits > 0) == (labels > 0.5)))
+        exact = float(np.mean(np.all((logits > 0) == (labels > 0.5), -1)))
+        return per_label, exact, group_accuracies(spec.groups, logits, labels)
+
+    # a relaunch after a completed run (start_epoch == epochs) skips the
+    # loop entirely; provenance.json below still needs these
+    per_label, exact, metrics = val_metrics()
     t0 = time.time()
     for epoch in range(start_epoch, args.epochs):
         lr = epoch_lr(args.lr, epoch, args.epochs, cos=True)
@@ -357,12 +369,7 @@ def main(argv=None):
             rng, sub = jax.random.split(rng)
             params, batch_stats, opt_state = train_chunk(
                 params, batch_stats, opt_state, sub, lr, y_train)
-        logits = np.asarray(jax.device_get(
-            eval_batch(params, batch_stats, jnp.int32(0))))
-        labels = y_val_np[:eval_b]
-        per_label = float(np.mean((logits > 0) == (labels > 0.5)))
-        exact = float(np.mean(np.all((logits > 0) == (labels > 0.5), -1)))
-        metrics = group_accuracies(spec.groups, logits, labels)
+        per_label, exact, metrics = val_metrics()
         score = 1.0 - exact  # best-tracking proxy
         log_metrics(args.out, {
             "phase": "extractor", "epoch": epoch, "lr": lr,
