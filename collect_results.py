@@ -71,10 +71,24 @@ def main():
             if isinstance(rec, dict):
                 rows.append(_row(f"{name} (earlier round)", phase, rec))
     with open("docs/results/SUMMARY.md", "w") as fp:
-        fp.write("# e2e training results (auto-collected)\n\n"
-                 "| run | phase | metrics |\n|---|---|---|\n")
+        fp.write(
+            "# e2e training results (auto-collected)\n\n"
+            "**Pinned FVD protocol** (VERDICT r4 #9): label-trained I3D "
+            "trunk, endpoint Mixed_4f (832-d features), one extractor per "
+            "dataset family (`train_fvd_extractor.py`, generator seed 1000 "
+            "— no eval-split leakage; reproducible from the fixed seeds if "
+            "runs/ is wiped), with a same-split GT-vs-GT floor next to "
+            "every number. FVD rows carry the extractor provenance; rows "
+            "from any other extractor regime (random-init Mixed_3c 480-d, "
+            "Kinetics-logits 400-d) are marked NON-COMPARABLE — their "
+            "absolute scales differ by orders of magnitude and deltas "
+            "against pinned rows are meaningless.\n\n"
+            "| run | phase | metrics |\n|---|---|---|\n")
         fp.write("\n".join(rows) + "\n")
     print(f"collected {len(rows)} phase rows")
+
+
+PINNED_FVD_DIM = 832  # trained Mixed_4f — the only cross-round-comparable regime
 
 
 def _row(name: str, phase: str, rec: dict) -> str:
@@ -94,6 +108,13 @@ def _row(name: str, phase: str, rec: dict) -> str:
                 cells.append(f"{str(k).lstrip('_')}={v[0]:.2f}({v[1]})")
         if cells:
             kv += ", " + " ".join(cells)
+    if phase.startswith("fvd"):
+        prov = rec.get("extractor")
+        if isinstance(prov, str) and prov:
+            short = prov.split(";")[0].split(",")[0][:48]
+            kv += f", extractor=\"{short}\""
+        if rec.get("feature_dim") != PINNED_FVD_DIM or not prov:
+            kv += " **NON-COMPARABLE (unpinned extractor)**"
     return f"| {name} | {phase} | {kv} |"
 
 
