@@ -26,6 +26,7 @@ Run: env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
 """
 import argparse
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -183,5 +184,9 @@ report["pred_post_vs_prior_mse_moving"] = float(dp[moving].mean())
 report["pred_post_vs_prior_mse_static"] = float(dp[~moving].mean())
 
 print(json.dumps(report, indent=2))
-with open("docs/results/diag_magep_semantic.json", "w") as f:
+# one file per diagnosed run so successive diags never clobber each
+# other's record (the r5 diag_ss run overwrote the r4 baseline before
+# this fix; the baseline was restored from git)
+tag = os.path.basename(os.path.normpath(args.out))
+with open(f"docs/results/diag_magep_semantic_{tag}.json", "w") as f:
     json.dump(report, f, indent=2)
