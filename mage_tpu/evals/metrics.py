@@ -40,15 +40,31 @@ def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
     extractor (see evals/fvd.py)."""
     from scipy import linalg
 
-    diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    diff = np.atleast_1d(mu1 - mu2)
+    sigma1 = np.atleast_2d(sigma1)
+    sigma2 = np.atleast_2d(sigma2)
+    # scipy 1.17 sqrtm(disp=False) returns (sqrtm, errest) for n >= 2 but a
+    # bare array on the 1x1 fast path; normalize both.
+    covmean = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if isinstance(covmean, tuple):
+        covmean = covmean[0]
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
 
 
 def gaussian_stats(features: np.ndarray):
-    """(N, D) features -> (mu, sigma)."""
+    """(N, D) features -> (mu, sigma).
+
+    Robust to degenerate sample counts: np.cov squeezes to 0-d when N == 1
+    or D == 1 (and is nan at N == 1, where the unbiased estimator divides
+    by zero). A single observation has zero scatter, so sigma is the (D, D)
+    zero matrix there; values for every N >= 2, D >= 2 call are unchanged.
+    """
+    features = np.atleast_2d(np.asarray(features, np.float64))
     mu = features.mean(axis=0)
-    sigma = np.cov(features, rowvar=False)
+    if features.shape[0] < 2:
+        sigma = np.zeros((features.shape[1], features.shape[1]))
+    else:
+        sigma = np.atleast_2d(np.cov(features, rowvar=False))
     return mu, sigma

@@ -70,6 +70,26 @@ def test_metrics_sanity():
     assert abs(d_same) < 1e-6 and d_diff > 10
 
 
+def test_metrics_degenerate_sample_counts():
+    # np.cov squeezes to 0-d at N == 1 or D == 1; the tiny golden configs
+    # hit this via fvd_same_split_floor with one video per half. The stats
+    # must stay finite and the distance must stay well-defined.
+    one = np.random.RandomState(3).randn(1, 16)
+    other = np.random.RandomState(4).randn(1, 16)
+    mu, sigma = gaussian_stats(one)
+    assert mu.shape == (16,) and sigma.shape == (16, 16)
+    assert np.all(np.isfinite(sigma)) and np.allclose(sigma, 0)
+    d = frechet_distance(*gaussian_stats(one), *gaussian_stats(other))
+    expected = float(np.sum((one[0] - other[0]) ** 2))
+    assert np.isfinite(d) and abs(d - expected) < 1e-9
+    # D == 1 features: sigma must come back 2-D, distance finite.
+    f1 = np.random.RandomState(5).randn(10, 1)
+    f2 = np.random.RandomState(6).randn(10, 1) + 2.0
+    mu1, s1 = gaussian_stats(f1)
+    assert s1.shape == (1, 1)
+    assert np.isfinite(frechet_distance(mu1, s1, *gaussian_stats(f2)))
+
+
 def test_double_generator(tmp_path):
     from mage_tpu.data.generators import mnist_common as mc
     from mage_tpu.data.generators.mnist_double import generate_split, pair_motion_split

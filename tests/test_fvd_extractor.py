@@ -34,8 +34,16 @@ def test_action_labels_multi_hot():
 
 
 def test_resolve_extractor_fallback_is_random_mixed3c(tmp_path, monkeypatch):
+    # an EXPLICITLY pinned extractor that is missing must fail loudly
+    # rather than silently switch to the random-init regime (ADVICE r4 #3)
     monkeypatch.setenv("MAGE_FVD_EXTRACTOR", str(tmp_path / "nope"))
     monkeypatch.delenv("MAGE_I3D_TORCH", raising=False)
+    with pytest.raises(FileNotFoundError):
+        resolve_extractor("CATER-GEN-v2", batch_size=2)
+    # auto-discovery with nothing to discover (cwd without runs/) falls
+    # back to the documented random-init Mixed_3c regime
+    monkeypatch.delenv("MAGE_FVD_EXTRACTOR", raising=False)
+    monkeypatch.chdir(tmp_path)
     extract, prov, dim = resolve_extractor("CATER-GEN-v2", batch_size=2)
     assert "random-init" in prov and dim == 480
     feats = extract(np.zeros((2, 3, 32, 32, 3), np.uint8))
@@ -83,6 +91,7 @@ def test_resolve_extractor_prefers_trained_when_family_matches(
     monkeypatch.delenv("MAGE_I3D_TORCH", raising=False)
     _, prov, dim = resolve_extractor("CATER-GEN-v1", batch_size=2)
     assert "action-trained" in prov and dim == 832  # v1/v2 same family
-    # family mismatch (MNIST eval) must NOT pick up the CATER extractor
-    _, prov, dim = resolve_extractor("MovingMNIST", batch_size=2)
-    assert "random-init" in prov and dim == 480
+    # family mismatch (MNIST eval) with the extractor EXPLICITLY pinned
+    # must refuse rather than silently switch regimes (ADVICE r4 #3)
+    with pytest.raises(ValueError):
+        resolve_extractor("MovingMNIST", batch_size=2)

@@ -17,6 +17,9 @@ precision (the eval_precision.py metric pair, measured directly on the
 generated pixels by normalized-cross-correlation sprite tracking instead
 of an external SwinBERT captioner, reference README.md:9-16).
 
+The training loops live in mage_tpu/training/e2e.py (shared by all five
+e2e chains); this driver supplies the CATER-specific pieces.
+
 Usage (real chip):
     python train_cater_e2e.py --out runs/cater_e2e --bf16
 Smoke (CPU):
@@ -26,8 +29,6 @@ Smoke (CPU):
 from __future__ import annotations
 
 import argparse
-import functools
-import json
 import os
 import time
 
@@ -38,15 +39,12 @@ import numpy as np
 from mage_tpu.data import device_data as dd
 from mage_tpu.data.generators import cater_synthetic as cs
 from mage_tpu.models.vqvae import VectorQuantizedVAE
+from mage_tpu.training import e2e
 from mage_tpu.training import vqvae_trainer as vt
-from mage_tpu.training.autoresume import save_last, try_restore_last
 from mage_tpu.training.checkpoint import Checkpointer
-from mage_tpu.training.lr import epoch_lr
-from mage_tpu.training.mage_trainer import make_mage_tx
-from mage_tpu.evals.metrics import ssim as np_ssim
-from mage_tpu.utils.media import save_gif
 
 T_STORE = cs.T_STORE  # 24 stored frames per clip
+log_metrics = e2e.log_metrics
 
 
 def parse_args(argv=None):
@@ -98,16 +96,9 @@ def parse_args(argv=None):
     return args
 
 
-def log_metrics(out_dir, record):
-    record = dict(record, time=time.time())
-    with open(os.path.join(out_dir, "e2e_metrics.json"), "a") as fp:
-        fp.write(json.dumps(record) + "\n")
-    print("METRIC", json.dumps(record), flush=True)
-
-
 def mse_to_psnr(mse, data_range=2.0):
     """Pixels are in [-1, 1] (the CATER transform chain's Normalize(.5,.5))."""
-    return float(10.0 * np.log10(data_range**2 / max(mse, 1e-12)))
+    return e2e.mse_to_psnr(mse, data_range)
 
 
 def frames_at(dev, split, idx, t):
@@ -130,7 +121,7 @@ def clip_positions(speed, frames_length):
 
 
 # ---------------------------------------------------------------------------
-# Stage 1: VQ-VAE f8 at 128px (the flagship first stage)
+# Stage 1 / latents / stage 2: shared loops (mage_tpu/training/e2e.py)
 # ---------------------------------------------------------------------------
 
 
@@ -138,122 +129,21 @@ def stage1(args, dev, out_dir):
     model = VectorQuantizedVAE(
         input_dim=3, down_ratio=8, dim=args.dim, K=args.codebook
     )
-    tx = vt.make_tx(args.lr1)
-    state = vt.create_state(
-        model, jax.random.PRNGKey(args.seed), jnp.zeros((1, 128, 128, 3)), tx
+    state = e2e.run_vqvae_stage1(
+        args, model,
+        frames_at=lambda split, idx, t: frames_at(dev, split, idx, t),
+        t_store=T_STORE,
+        n_train=int(dev["train"]["sid"].shape[0]),
+        n_val=int(dev["val"]["sid"].shape[0]),
+        input_shape=(128, 128, 3),
+        out_dir=out_dir,
+        eval_cap=128,
+        # mid-action frame: sprites at off-grid offsets, rotation phases,
+        # z-lift — the content whose recon bounds generation
+        motion_frame=T_STORE // 2,
+        ssim_count=32,
+        data_range=2.0,
     )
-    print(f"stage-1 params: "
-          f"{sum(x.size for x in jax.tree_util.tree_leaves(state.params)):,}")
-    ckpt = Checkpointer(os.path.join(out_dir, "vqvae"))
-
-    n = int(dev["train"]["sid"].shape[0])
-    b = args.batch1
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_chunk(state, rng, lr):
-        def body(carry, _):
-            state, rng = carry
-            rng, k1, k2 = jax.random.split(rng, 3)
-            s = jax.random.randint(k1, (b,), 0, n)
-            f = jax.random.randint(k2, (b,), 0, T_STORE)
-            frames = frames_at(dev, "train", s, f)
-
-            def loss_fn(params):
-                return vt.loss_terms(model, params, state.batch_stats, frames,
-                                     args.beta1, True)
-
-            grads, (mutated, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
-            opt_state = state.opt_state
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            updates, new_opt = tx.update(grads, opt_state, state.params)
-            state = state.replace(
-                step=state.step + 1,
-                params=jax.tree_util.tree_map(
-                    lambda p, u: p + u, state.params, updates
-                ),
-                batch_stats=mutated["batch_stats"],
-                opt_state=new_opt,
-            )
-            return (state, rng), aux["total"]
-
-        (state, _), losses = jax.lax.scan(body, (state, rng), None,
-                                          length=args.chunk)
-        return state, jnp.mean(losses)
-
-    n_val = int(dev["val"]["sid"].shape[0])
-    eval_b = min(128, n_val)
-
-    @jax.jit
-    def eval_recon(state, frame_idx):
-        s = jnp.arange(eval_b)
-        frames = frames_at(dev, "val", s,
-                           jnp.broadcast_to(frame_idx, (eval_b,)))
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        ids = model.apply(variables, frames, method="encode", mutable=False)
-        recon = model.apply(variables, ids, method="decode", mutable=False)
-        used = jnp.unique(ids, size=args.codebook, fill_value=-1)
-        return jnp.mean((recon - frames) ** 2), jnp.sum(used >= 0), frames, recon
-
-    restart_fn = None
-    if args.codebook_restart:
-        restart_fn = jax.jit(vt.make_restart_dead_codes(model))
-
-    steps_per_epoch = max(n // b, 1)
-    chunks = max(round(steps_per_epoch / args.chunk), 1)
-    rng = jax.random.PRNGKey(args.seed + 1)
-    best = float("inf")
-    start_epoch = 0
-    resumed = try_restore_last(ckpt, {"train": state, "rng": rng})
-    if resumed is not None:
-        start_epoch, best, st = resumed
-        state, rng = st["train"], st["rng"]
-        print(f"stage-1 autoresume: epoch {start_epoch}, best mse {best:.6f}")
-    t0 = time.time()
-    for epoch in range(start_epoch, args.stage1_epochs):
-        for _ in range(chunks):
-            rng, sub = jax.random.split(rng)
-            state, loss = train_chunk(state, sub, args.lr1)
-        if restart_fn is not None and epoch % 2 == 1:
-            rng, k1, k2, k3 = jax.random.split(rng, 4)
-            s = jax.random.randint(k1, (64,), 0, n)
-            f = jax.random.randint(k2, (64,), 0, T_STORE)
-            state, _n_dead = restart_fn(state, frames_at(dev, "train", s, f),
-                                        k3)
-        if epoch % 10 == 0 or epoch == args.stage1_epochs - 1:
-            loss = float(jax.device_get(loss))
-            mse, used, frames, recon = eval_recon(state, jnp.int32(0))
-            # mid-action frame: sprites at off-grid offsets, rotation
-            # phases, z-lift — the content whose recon bounds generation
-            mse_m, _, _, _ = eval_recon(state, jnp.int32(T_STORE // 2))
-            mse, used = float(jax.device_get(mse)), int(jax.device_get(used))
-            mse_m = float(jax.device_get(mse_m))
-            log_metrics(out_dir, {
-                "phase": "stage1", "epoch": epoch, "train_loss": loss,
-                "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
-                "val_recon_psnr_motion": mse_to_psnr(mse_m),
-                "codebook_used": used,
-                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
-            })
-            if mse < best:
-                best = mse
-                ckpt.save("best", jax.device_get(state))
-            save_last(ckpt, epoch, best, {"train": state, "rng": rng})
-    ckpt.save("final", jax.device_get(state))
-
-    mse, used, frames, recon = eval_recon(state, jnp.int32(0))
-    f_np = np.asarray(jax.device_get(frames[:32]))
-    r_np = np.asarray(jax.device_get(recon[:32]))
-    ssim_val = float(np.mean([
-        np_ssim(a, b, data_range=2.0)
-        for fa, fb in zip(f_np, r_np)
-        for a, b in zip(np.moveaxis(fa, -1, 0), np.moveaxis(fb, -1, 0))
-    ]))
-    final_mse = float(jax.device_get(mse))
-    log_metrics(out_dir, {
-        "phase": "stage1_final", "val_recon_mse": final_mse,
-        "val_recon_psnr": mse_to_psnr(final_mse), "val_ssim": ssim_val,
-        "codebook_used": int(jax.device_get(used)),
-    })
     return model, state
 
 
@@ -263,9 +153,7 @@ def materialize_latents(args, model, state, dev, split):
     chunk x T_STORE frames run per dispatch; 25 clips (600 128px frames)
     OOM'd the single chip at 21.3 of 15.75 GB HBM — the f32 encoder tops
     out ~16 MB of activations per frame at the 128^2 x dim level."""
-    d = dev[split]
-    n = int(d["sid"].shape[0])
-    chunk = 5
+    n = int(dev[split]["sid"].shape[0])
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
@@ -277,22 +165,7 @@ def materialize_latents(args, model, state, dev, split):
         ids = model.apply(variables, frames, method="encode", mutable=False)
         return ids.reshape(c, T_STORE, *ids.shape[1:]).astype(jnp.int32)
 
-    outs = []
-    for i in range(0, n, chunk):
-        idx = jnp.arange(i, min(i + chunk, n))
-        if idx.shape[0] < chunk:  # static shapes: pad final chunk
-            idx = jnp.concatenate(
-                [idx, jnp.zeros((chunk - idx.shape[0],), idx.dtype)]
-            )
-            outs.append(encode_chunk(idx)[: n - i])
-        else:
-            outs.append(encode_chunk(idx))
-    return jnp.concatenate(outs)[:n]
-
-
-# ---------------------------------------------------------------------------
-# Stage 2: flagship MAGE (config/mage_caterv2.yaml, explicit captions)
-# ---------------------------------------------------------------------------
+    return e2e.materialize(n, 5, encode_chunk)
 
 
 def build_pipeline(args, fs_variables):
@@ -319,41 +192,20 @@ def build_pipeline(args, fs_variables):
     from mage_tpu.models.pipeline import MagePipeline
 
     return MagePipeline(first_stage_variables=fs_variables,
-                       **cfg.model.params.to_dict())
+                        **cfg.model.params.to_dict())
 
 
 def init_stage2_params(args, pipeline, latent_hw):
-    ctx = pipeline.core.text_context_length
-    init_fn = jax.jit(
-        lambda: pipeline.core.init(
-            {"params": jax.random.PRNGKey(args.seed),
-             "dropout": jax.random.PRNGKey(args.seed),
-             "latent": jax.random.PRNGKey(args.seed)},
-            jnp.zeros((1, args.frames_length, *latent_hw), jnp.int32),
-            jnp.zeros((1, ctx), jnp.int32),
-            jnp.zeros((1,), jnp.float32),
-            train=True,
-        )["params"]
-    )
-    return init_fn()
+    return e2e.init_stage2_params(pipeline, args.seed, args.frames_length,
+                                  tuple(latent_hw), jnp.int32)
 
 
 def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
-    tx = make_mage_tx()
     b = args.batch2
     n = int(ids_train.shape[0])
-    text_train = dev["train"]["text"]
-    text_val = dev["val"]["text"]
+    n_val = int(ids_val.shape[0])
+    eval_b = min(64, n_val)
 
-    params = init_stage2_params(args, pipeline, ids_train.shape[2:])
-    print(f"stage-2 params: "
-          f"{sum(x.size for x in jax.tree_util.tree_leaves(params)):,}")
-    opt_state = jax.jit(tx.init)(params)
-    step = jnp.zeros((), jnp.int32)
-    alpha, beta = pipeline.alpha, pipeline.beta
-
-    # resident latents/text ride as jit ARGUMENTS (remote AOT compile
-    # serializes closure constants with the program; see train_mnist2_e2e)
     def batch_at(rng, ids, text):
         k1, k2 = jax.random.split(rng)
         idx = jax.random.randint(k1, (b,), 0, n)
@@ -362,106 +214,23 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
         lat = ids[idx[:, None], pos]
         return {"latents": lat, "text": text[idx], "speed": speed}
 
-    def loss_fn(params, batch, rng):
-        terms = pipeline.loss_terms(params, batch, rng, train=True)
-        final = (terms["prediction"] + beta * terms.get("kl_loss", 0.0)
-                 + alpha * terms["speed_l2"])
-        terms["final_loss"] = final
-        return final, terms
-
-    if args.bf16:
-        base_loss = loss_fn
-        from mage_tpu.training.mage_trainer import cast_floating
-
-        def loss_fn(params, batch, rng):  # noqa: F811
-            final, terms = base_loss(cast_floating(params, jnp.bfloat16),
-                                     batch, rng)
-            return final.astype(jnp.float32), jax.tree_util.tree_map(
-                lambda v: v.astype(jnp.float32), terms
-            )
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_chunk(params, opt_state, step, rng, lr, ids, text):
-        def body(carry, _):
-            params, opt_state, step, rng = carry
-            rng, kb, kl = jax.random.split(rng, 3)
-            batch = batch_at(kb, ids, text)
-            grads, terms = jax.grad(loss_fn, has_aux=True)(params, batch, kl)
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return (params, opt_state, step + 1, rng), terms["final_loss"]
-
-        (params, opt_state, step, _), losses = jax.lax.scan(
-            body, (params, opt_state, step, rng), None, length=args.chunk
-        )
-        return params, opt_state, step, jnp.mean(losses)
-
-    n_val = int(ids_val.shape[0])
-    eval_b = min(64, n_val)
-
-    @jax.jit
-    def eval_chunk(params, rng, ids, text):
+    def val_batch_at(rng, ids, text):
         k1, k2, k3 = jax.random.split(rng, 3)
         idx = jax.random.randint(k1, (eval_b,), 0, n_val)
         speed = jax.random.uniform(k2, (eval_b,))
         pos = jax.vmap(lambda s: clip_positions(s, args.frames_length))(speed)
         batch = {"latents": ids[idx[:, None], pos], "text": text[idx],
                  "speed": speed}
-        terms = pipeline.loss_terms(params, batch, k3, train=False)
-        return (terms["prediction"] + beta * terms.get("kl_loss", 0.0)
-                + alpha * terms["speed_l2"]), terms["prediction"]
+        return batch, k3
 
-    steps_per_epoch = max(n // b, 1)
-    chunks = max(round(steps_per_epoch / args.chunk), 1)
-    rng = jax.random.PRNGKey(args.seed + 2)
-    ckpt = Checkpointer(os.path.join(out_dir, "mage"))
-    best = float("inf")
-    start_epoch = 0
-    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
-                                      "step": step, "rng": rng})
-    if resumed is not None:
-        start_epoch, best, st = resumed
-        params, opt_state = st["params"], st["opt_state"]
-        step, rng = st["step"], st["rng"]
-        print(f"stage-2 autoresume: epoch {start_epoch}, best {best:.4f}")
-    t0 = time.time()
-    for epoch in range(start_epoch, args.stage2_epochs):
-        lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
-        for _ in range(chunks):
-            rng, sub = jax.random.split(rng)
-            params, opt_state, step, loss = train_chunk(
-                params, opt_state, step, sub, lr, ids_train, text_train)
-        if epoch % 5 == 0 or epoch == args.stage2_epochs - 1:
-            loss = float(jax.device_get(loss))
-            val_loss, val_pred = map(float, jax.device_get(
-                eval_chunk(params, jax.random.PRNGKey(args.seed + 3),
-                           ids_val, text_val)
-            ))
-            log_metrics(out_dir, {
-                "phase": "stage2", "epoch": epoch, "lr": lr,
-                "train_loss": loss, "val_loss": val_loss,
-                "val_prediction": val_pred,
-                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
-            })
-            improved = val_loss < best
-            if improved:
-                best = val_loss
-                ckpt.save("best", {"step": jax.device_get(step),
-                                   "params": jax.device_get(params)})
-            # full-state resume point every 10 epochs (the opt_state fetch
-            # is ~3x a best-save; 10-epoch cadence bounds it at <2% of
-            # train time while capping crash loss at ~7 min) AND on every
-            # best improvement — otherwise a crash between "best" and the
-            # next "last" resumes with a stale best metric and overwrites
-            # the true pre-crash best checkpoint
-            if improved or epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
-                save_last(ckpt, epoch, best,
-                          {"params": params, "opt_state": opt_state,
-                           "step": step, "rng": rng})
-    ckpt.save("final", {"step": jax.device_get(step),
-                        "params": jax.device_get(params)})
-    return params
+    return e2e.run_mage_stage2(
+        args, pipeline,
+        batch_at=batch_at, val_batch_at=val_batch_at,
+        lat_train=ids_train, lat_val=ids_val,
+        text_train=dev["train"]["text"], text_val=dev["val"]["text"],
+        out_dir=out_dir,
+        latent_shape=ids_train.shape[2:], latent_dtype=jnp.int32,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -657,38 +426,11 @@ def eval_generation(args, pipeline, params, dev, compact, ids, split, out_dir):
         "gt_action_precision_ceiling": pm_gt["action_precision"],
         "gt_referring_precision_ceiling": pm_gt["referring_precision"],
     })
-    # FVD: generated vs GT clip distributions through the best available
-    # extractor — the action-trained trunk (train_fvd_extractor.py) when
-    # its checkpoint exists, else the documented random-init fallback;
-    # the recon row calibrates the first-stage floor either way
-    from mage_tpu.evals.fvd import (compute_fvd, fvd_same_split_floor,
-                                    resolve_extractor)
-
     dataset = "CATER-GEN-v1" if args.dataset == "caterv1" else "CATER-GEN-v2"
-    extractor, fvd_prov, fvd_dim = resolve_extractor(dataset, batch_size=4)
     recon_np = np.asarray(jax.device_get(recon_gt), np.float64)[:, 1:]
-    clip = lambda v: np.clip(v, -1.0, 1.0).astype(np.float32)  # noqa: E731
-    fvd_gen = compute_fvd(clip(gt_np[:, 1:]), clip(gen_np), extractor)
-    fvd_recon = compute_fvd(clip(gt_np[:, 1:]), clip(recon_np), extractor)
-    fvd_floor = fvd_same_split_floor(clip(gt_np[:, 1:]), extractor)
-    log_metrics(out_dir, {
-        "phase": f"fvd_{split}", "samples": g,
-        "fvd_gen_vs_gt": float(fvd_gen),
-        "fvd_recon_vs_gt": float(fvd_recon),
-        # same-split GT-vs-GT floor: the metric's sampling noise at this
-        # sample count/extractor — judge fvd_gen by its ratio to this
-        "fvd_same_split_floor": float(fvd_floor),
-        "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
-        "extractor": fvd_prov,
-        "feature_dim": fvd_dim,
-    })
-
-    few = np.asarray(gen_np[: args.gifs], np.float32)
-    few_gt = np.asarray(gt_np[: args.gifs], np.float32)
-    os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
-    for i in range(few.shape[0]):
-        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2)
-        save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
+    e2e.log_fvd(out_dir, split, dataset, gt_np[:, 1:], gen_np, recon_np,
+                batch_size=4)
+    e2e.write_side_gifs(out_dir, split, gt_np, gen_np, args.gifs)
     return mse_gen
 
 

@@ -17,6 +17,9 @@ prior-sample diversity (K draws per prompt), quadrant-level Action /
 Referring precision by sprite tracking (any endpoint inside the captioned
 quadrant satisfies the text), and FVD.
 
+The training loops live in mage_tpu/training/e2e.py (shared by all five
+e2e chains); this driver supplies the dataset/variant-specific pieces.
+
 Usage (real chip):
     python train_cater_kl_e2e.py --out runs/cater_kl_e2e
 Smoke (CPU):
@@ -26,7 +29,6 @@ Smoke (CPU):
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import time
 
@@ -37,12 +39,9 @@ import numpy as np
 import train_cater_e2e as ce
 from mage_tpu.data.generators import cater_synthetic as cs
 from mage_tpu.models.autoencoder_kl import AutoencoderKL, DiagonalGaussian
-from mage_tpu.training.autoresume import save_last, try_restore_last
+from mage_tpu.training import e2e
 from mage_tpu.training.checkpoint import Checkpointer
-from mage_tpu.training.lr import epoch_lr
-from mage_tpu.training.mage_trainer import cast_floating, make_mage_tx
-from mage_tpu.training.pid import initial_pid_state, pid_update
-from mage_tpu.evals.metrics import ssim as np_ssim
+from mage_tpu.training.mage_trainer import cast_floating
 from mage_tpu.utils.media import save_gif
 
 T_STORE = cs.T_STORE
@@ -99,7 +98,7 @@ def parse_args(argv=None):
 
 
 # ---------------------------------------------------------------------------
-# Stage A: KL autoencoder f8 at 128px
+# Stage A: KL autoencoder f8 at 128px (shared loop in e2e.py)
 # ---------------------------------------------------------------------------
 
 
@@ -113,105 +112,18 @@ def make_ae(args):
 
 def stage_ae(args, dev, out_dir):
     model = make_ae(args)
-    import optax
-
-    tx = optax.adam(args.ae_lr)
-    init_fn = jax.jit(lambda: model.init(
-        {"params": jax.random.PRNGKey(args.seed)},
-        jnp.zeros((1, 128, 128, 3)), jax.random.PRNGKey(0))["params"])
-    params = init_fn()
-    print(f"KL-AE params: "
-          f"{sum(x.size for x in jax.tree_util.tree_leaves(params)):,}")
-    opt_state = jax.jit(tx.init)(params)
-    ckpt = Checkpointer(os.path.join(out_dir, "klae"))
-
-    n = int(dev["train"]["sid"].shape[0])
-    b = args.ae_batch
-    klw = args.ae_kl_weight
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_chunk(params, opt_state, rng):
-        def body(carry, _):
-            params, opt_state, rng = carry
-            rng, k1, k2, k3 = jax.random.split(rng, 4)
-            s = jax.random.randint(k1, (b,), 0, n)
-            f = jax.random.randint(k2, (b,), 0, T_STORE)
-            frames = ce.frames_at(dev, "train", s, f)
-
-            def loss_fn(p):
-                recon, post = model.apply({"params": p}, frames, k3,
-                                          train=True)
-                rec = jnp.mean((recon - frames) ** 2)
-                return rec + klw * jnp.mean(post.kl()), rec
-
-            grads, rec = jax.grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), rec
-
-        (params, opt_state, _), recs = jax.lax.scan(
-            body, (params, opt_state, rng), None, length=args.chunk
-        )
-        return params, opt_state, jnp.mean(recs)
-
-    n_val = int(dev["val"]["sid"].shape[0])
-    eval_b = min(64, n_val)
-
-    @jax.jit
-    def eval_recon(params):
-        s = jnp.arange(eval_b)
-        frames = ce.frames_at(dev, "val", s, jnp.zeros((eval_b,), jnp.int32))
-        moments = model.apply({"params": params}, frames,
-                              method="encode_moments")
-        z = DiagonalGaussian(moments).mode()
-        recon = model.apply({"params": params}, z, method="decode")
-        return jnp.mean((recon - frames) ** 2), frames, recon
-
-    steps_per_epoch = max(n // b, 1)
-    chunks = max(round(steps_per_epoch / args.chunk), 1)
-    rng = jax.random.PRNGKey(args.seed + 1)
-    best = float("inf")
-    start_epoch = 0
-    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
-                                      "rng": rng})
-    if resumed is not None:
-        start_epoch, best, st = resumed
-        params, opt_state, rng = st["params"], st["opt_state"], st["rng"]
-        print(f"klae autoresume: epoch {start_epoch}, best mse {best:.6f}")
-    t0 = time.time()
-    for epoch in range(start_epoch, args.ae_epochs):
-        for _ in range(chunks):
-            rng, sub = jax.random.split(rng)
-            params, opt_state, rec = train_chunk(params, opt_state, sub)
-        if epoch % 5 == 0 or epoch == args.ae_epochs - 1:
-            rec = float(jax.device_get(rec))
-            mse, frames, recon = eval_recon(params)
-            mse = float(jax.device_get(mse))
-            log_metrics(out_dir, {
-                "phase": "klae", "epoch": epoch, "train_recon": rec,
-                "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
-                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
-            })
-            if mse < best:
-                best = mse
-                ckpt.save("best", {"params": jax.device_get(params)})
-            save_last(ckpt, epoch, best,
-                      {"params": params, "opt_state": opt_state, "rng": rng})
-    ckpt.save("final", {"params": jax.device_get(params)})
-
-    mse, frames, recon = eval_recon(params)
-    f_np = np.asarray(jax.device_get(frames[:16]))
-    r_np = np.asarray(jax.device_get(recon[:16]))
-    ssim_val = float(np.mean([
-        np_ssim(a, c, data_range=2.0)
-        for fa, fb in zip(f_np, r_np)
-        for a, c in zip(np.moveaxis(fa, -1, 0), np.moveaxis(fb, -1, 0))
-    ]))
-    final_mse = float(jax.device_get(mse))
-    log_metrics(out_dir, {
-        "phase": "klae_final", "val_recon_mse": final_mse,
-        "val_recon_psnr": mse_to_psnr(final_mse), "val_ssim": ssim_val,
-    })
+    params = e2e.run_klae_stage1(
+        args, model,
+        frames_at=lambda split, idx, t: ce.frames_at(dev, split, idx, t),
+        t_store=T_STORE,
+        n_train=int(dev["train"]["sid"].shape[0]),
+        n_val=int(dev["val"]["sid"].shape[0]),
+        input_shape=(128, 128, 3),
+        out_dir=out_dir,
+        eval_cap=64,
+        ssim_count=16,
+        data_range=2.0,
+    )
     return model, params
 
 
@@ -220,9 +132,8 @@ def materialize_moments(args, model, params, dev, split):
     (N, T_STORE, 16, 16, 8) bf16; sampling happens per train step
     (the reference's stochastic get_first_stage_encoding,
     mage_model.py:542-549, without re-running the encoder)."""
-    d = dev[split]
-    n = int(d["sid"].shape[0])
-    chunk = 5  # 120 128px frames/dispatch (25-clip chunks OOM'd the
+    n = int(dev[split]["sid"].shape[0])
+    # 5-clip chunks = 120 128px frames/dispatch (25-clip chunks OOM'd the
     # discrete chain's f32 encoder at this resolution; headroom here)
 
     @jax.jit
@@ -237,21 +148,11 @@ def materialize_moments(args, model, params, dev, split):
             jnp.bfloat16
         )
 
-    outs = []
-    for i in range(0, n, chunk):
-        idx = jnp.arange(i, min(i + chunk, n))
-        if idx.shape[0] < chunk:
-            idx = jnp.concatenate(
-                [idx, jnp.zeros((chunk - idx.shape[0],), idx.dtype)]
-            )
-            outs.append(encode_chunk(idx)[: n - i])
-        else:
-            outs.append(encode_chunk(idx))
-    return jnp.concatenate(outs)[:n]
+    return e2e.materialize(n, 5, encode_chunk)
 
 
 # ---------------------------------------------------------------------------
-# Stage 2: continuous MAGE+ with same-step PID auto-beta
+# Stage 2: continuous MAGE+ with same-step PID auto-beta (loop in e2e.py)
 # ---------------------------------------------------------------------------
 
 
@@ -292,36 +193,16 @@ def sample_latents(moments, rng, logvar_shift=0.0):
 
 
 def init_stage2_params(args, pipeline):
-    ctx = pipeline.core.text_context_length
-    init_fn = jax.jit(
-        lambda: pipeline.core.init(
-            {"params": jax.random.PRNGKey(args.seed),
-             "dropout": jax.random.PRNGKey(args.seed),
-             "latent": jax.random.PRNGKey(args.seed)},
-            jnp.zeros((1, args.frames_length, 16, 16, 4), jnp.float32),
-            jnp.zeros((1, ctx), jnp.int32),
-            jnp.zeros((1,), jnp.float32),
-            train=True,
-        )["params"]
-    )
-    return init_fn()
+    return e2e.init_stage2_params(pipeline, args.seed, args.frames_length,
+                                  (16, 16, 4), jnp.float32)
 
 
 def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
-    tx = make_mage_tx()
     b = args.batch2
     n = int(mom_train.shape[0])
-    text_train = dev["train"]["text"]
-    text_val = dev["val"]["text"]
-    v_kl = pipeline.v_kl
+    n_val = int(mom_val.shape[0])
+    eval_b = min(64, n_val)
     lv_shift = args.posterior_logvar_shift
-
-    params = init_stage2_params(args, pipeline)
-    print(f"stage-2 params: "
-          f"{sum(x.size for x in jax.tree_util.tree_leaves(params)):,}")
-    opt_state = jax.jit(tx.init)(params)
-    step = jnp.zeros((), jnp.int32)
-    compute_dtype = jnp.bfloat16 if args.bf16 else None
 
     def batch_at(rng, mom, text):
         k1, k2, k3, k4 = jax.random.split(rng, 4)
@@ -341,51 +222,7 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
             batch["context_latents"] = jnp.where(pick, static, lat)
         return batch
 
-    def loss_fn(params, batch, rng, pid_state):
-        if compute_dtype is not None:
-            params = cast_floating(params, compute_dtype)
-        terms = pipeline.loss_terms(params, batch, rng, train=True,
-                                    compute_dtype=compute_dtype)
-        beta, new_pid = pid_update(
-            pid_state, v_kl,
-            jax.lax.stop_gradient(terms["kl_loss"]).astype(jnp.float32),
-        )
-        final = (terms["prediction"].astype(jnp.float32)
-                 + jax.lax.stop_gradient(beta)
-                 * terms["kl_loss"].astype(jnp.float32))
-        terms = {k: v.astype(jnp.float32) for k, v in terms.items()}
-        terms.update(final_loss=final, beta=beta)
-        return final, (terms, new_pid)
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_chunk(params, opt_state, step, pid_state, rng, lr, mom, text):
-        def body(carry, _):
-            params, opt_state, step, pid_state, rng = carry
-            rng, kb, kl = jax.random.split(rng, 3)
-            batch = batch_at(kb, mom, text)
-            grads, (terms, pid_state) = jax.grad(loss_fn, has_aux=True)(
-                params, batch, kl, pid_state
-            )
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                lr, jnp.float32)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u, params, updates)
-            return ((params, opt_state, step + 1, pid_state, rng),
-                    (terms["final_loss"], terms["kl_loss"], terms["beta"]))
-
-        (params, opt_state, step, pid_state, _), (losses, kls, betas) = (
-            jax.lax.scan(body, (params, opt_state, step, pid_state, rng),
-                         None, length=args.chunk)
-        )
-        return (params, opt_state, step, pid_state,
-                jnp.mean(losses), jnp.mean(kls), betas[-1])
-
-    n_val = int(mom_val.shape[0])
-    eval_b = min(64, n_val)
-
-    @jax.jit
-    def eval_chunk(params, beta, rng, mom, text):
+    def val_batch_at(rng, mom, text):
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         idx = jax.random.randint(k1, (eval_b,), 0, n_val)
         speed = jax.random.uniform(k2, (eval_b,))
@@ -395,66 +232,15 @@ def stage2(args, pipeline, dev, mom_train, mom_val, out_dir):
             "latents": sample_latents(mom[idx[:, None], pos], k4, lv_shift),
             "text": text[idx], "speed": speed,
         }
-        p = cast_floating(params, compute_dtype) if compute_dtype else params
-        terms = pipeline.loss_terms(p, batch, k3, train=False,
-                                    compute_dtype=compute_dtype)
-        return (terms["prediction"].astype(jnp.float32)
-                + beta * terms["kl_loss"].astype(jnp.float32),
-                terms["prediction"].astype(jnp.float32))
+        return batch, k3
 
-    steps_per_epoch = max(n // b, 1)
-    chunks = max(round(steps_per_epoch / args.chunk), 1)
-    rng = jax.random.PRNGKey(args.seed + 2)
-    ckpt = Checkpointer(os.path.join(out_dir, "mage"))
-    pid_state = initial_pid_state()
-    best = float("inf")
-    start_epoch = 0
-    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
-                                      "step": step, "pid": pid_state,
-                                      "rng": rng})
-    if resumed is not None:
-        # the PID controller state resumes too: beta regulation continues
-        # from where the crashed run left off instead of re-winding up
-        start_epoch, best, st = resumed
-        params, opt_state = st["params"], st["opt_state"]
-        step, pid_state, rng = st["step"], st["pid"], st["rng"]
-        print(f"stage-2 autoresume: epoch {start_epoch}, best {best:.4f}")
-    t0 = time.time()
-    for epoch in range(start_epoch, args.stage2_epochs):
-        lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
-        for _ in range(chunks):
-            rng, sub = jax.random.split(rng)
-            (params, opt_state, step, pid_state, loss, klm, beta) = (
-                train_chunk(params, opt_state, step, pid_state, sub, lr,
-                            mom_train, text_train)
-            )
-        if epoch % 5 == 0 or epoch == args.stage2_epochs - 1:
-            loss, klm, beta = map(float, jax.device_get((loss, klm, beta)))
-            val_loss, val_pred = map(float, jax.device_get(
-                eval_chunk(params, beta, jax.random.PRNGKey(args.seed + 3),
-                           mom_val, text_val)
-            ))
-            log_metrics(out_dir, {
-                "phase": "stage2", "epoch": epoch, "lr": lr,
-                "train_loss": loss, "train_kl": klm, "beta": beta,
-                "val_loss": val_loss, "val_prediction": val_pred,
-                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
-            })
-            improved = val_loss < best
-            if improved:
-                best = val_loss
-                ckpt.save("best", {"step": jax.device_get(step),
-                                   "params": jax.device_get(params)})
-            # save_last also on improvement: a crash between "best" and the
-            # next 10-epoch "last" would otherwise resume with a stale best
-            # metric and overwrite the true pre-crash best checkpoint
-            if improved or epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
-                save_last(ckpt, epoch, best,
-                          {"params": params, "opt_state": opt_state,
-                           "step": step, "pid": pid_state, "rng": rng})
-    ckpt.save("final", {"step": jax.device_get(step),
-                        "params": jax.device_get(params)})
-    return params
+    return e2e.run_mage_plus_stage2(
+        args, pipeline,
+        batch_at=batch_at, val_batch_at=val_batch_at,
+        mom_train=mom_train, mom_val=mom_val,
+        text_train=dev["train"]["text"], text_val=dev["val"]["text"],
+        out_dir=out_dir,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -592,34 +378,11 @@ def eval_generation(args, pipeline, params, dev, compact, mom, split,
         "gt_referring_precision_ceiling": pm_gt["referring_precision"],
     })
 
-    # FVD — action-trained extractor when available, else the documented
-    # random-init fallback (evals/fvd.py::resolve_extractor)
-    from mage_tpu.evals.fvd import (compute_fvd, fvd_same_split_floor,
-                                    resolve_extractor)
-
-    extractor, fvd_prov, fvd_dim = resolve_extractor("CATER-GEN-v2",
-                                                     batch_size=4)
     recon_np = np.asarray(jax.device_get(recon_gt), np.float64)[:, 1:]
-    clip = lambda v: np.clip(v, -1.0, 1.0).astype(np.float32)  # noqa: E731
-    fvd_gen = compute_fvd(clip(gt_np[:, 1:]), clip(gen_np), extractor)
-    fvd_recon = compute_fvd(clip(gt_np[:, 1:]), clip(recon_np), extractor)
-    fvd_floor = fvd_same_split_floor(clip(gt_np[:, 1:]), extractor)
-    log_metrics(out_dir, {
-        "phase": f"fvd_{split}", "samples": g,
-        "fvd_gen_vs_gt": float(fvd_gen),
-        "fvd_recon_vs_gt": float(fvd_recon),
-        "fvd_same_split_floor": float(fvd_floor),
-        "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
-        "extractor": fvd_prov,
-        "feature_dim": fvd_dim,
-    })
+    e2e.log_fvd(out_dir, split, "CATER-GEN-v2", gt_np[:, 1:], gen_np,
+                recon_np, batch_size=4)
 
-    few = gen_np[: args.gifs].astype(np.float32)
-    few_gt = gt_np[: args.gifs].astype(np.float32)
-    os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
-    for i in range(few.shape[0]):
-        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2)
-        save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
+    e2e.write_side_gifs(out_dir, split, gt_np, gen_np, args.gifs)
     strip = np.concatenate(
         [vids[k, 0] for k in range(min(K, 4))], axis=2)
     save_gif(strip, os.path.join(out_dir, "gifs", f"{split}_diversity.gif"))
@@ -628,11 +391,15 @@ def eval_generation(args, pipeline, params, dev, compact, mom, split,
 def main(argv=None):
     args = parse_args(argv)
     if args.tiny:
-        args.num_train, args.num_val = 48, 12
+        # small enough for the CPU golden diff: 128^2 KL-AE encodes on the
+        # 1-vCPU host run ~45 s/frame-batch; 48 scenes blew the 2,400 s
+        # budget on the klae epoch alone (r5 session-2 handoff)
+        args.num_train, args.num_val = 8, 8
         args.ae_ch = 32  # GroupNorm(32) needs ch multiples of 32
-        args.ae_epochs, args.stage2_epochs = 2, 2
-        args.ae_batch, args.batch2, args.chunk = 8, 4, 2
-        args.eval_videos, args.gifs = 4, 1
+        args.ae_epochs, args.stage2_epochs = 1, 2
+        args.ae_batch, args.batch2, args.chunk = 4, 4, 2
+        args.eval_videos, args.gifs = 4, 1  # >=4: the same-split FVD
+        # floor needs >=2 clips per half (0-d cov crashes sqrtm)
         args.diversity_samples = 2
     os.makedirs(args.out, exist_ok=True)
     print(f"devices: {jax.devices()}")

@@ -14,6 +14,9 @@ discrete) -> evaluate AR generation PSNR + per-digit motion correctness
 (template-tracking the two captioned digits through the generated video
 against their ground-truth trajectories).
 
+The training loops live in mage_tpu/training/e2e.py (shared by all five
+e2e chains); this driver supplies the dataset-specific pieces.
+
 Usage (real chip):
     python train_mnist2_e2e.py --out runs/mnist2_e2e --bf16
 Smoke (CPU):
@@ -23,8 +26,6 @@ Smoke (CPU):
 from __future__ import annotations
 
 import argparse
-import functools
-import json
 import os
 import time
 
@@ -34,15 +35,13 @@ import numpy as np
 
 from mage_tpu.data import device_data as dd
 from mage_tpu.models.vqvae import VectorQuantizedVAE
+from mage_tpu.training import e2e
 from mage_tpu.training import vqvae_trainer as vt
-from mage_tpu.training.autoresume import save_last, try_restore_last
 from mage_tpu.training.checkpoint import Checkpointer
-from mage_tpu.training.lr import epoch_lr
-from mage_tpu.training.mage_trainer import make_mage_tx
-from mage_tpu.evals.metrics import ssim as np_ssim
-from mage_tpu.utils.media import save_gif
 
 T_STORED = dd.SEQ_LENGTH + 1  # 21 stored frames (edge-padded tracks)
+log_metrics = e2e.log_metrics
+mse_to_psnr = e2e.mse_to_psnr
 
 
 def parse_args(argv=None):
@@ -99,17 +98,6 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def log_metrics(out_dir, record):
-    record = dict(record, time=time.time())
-    with open(os.path.join(out_dir, "e2e_metrics.json"), "a") as fp:
-        fp.write(json.dumps(record) + "\n")
-    print("METRIC", json.dumps(record), flush=True)
-
-
-def mse_to_psnr(mse, data_range=1.0):
-    return float(10.0 * np.log10(data_range**2 / max(mse, 1e-12)))
-
-
 def frames_at(dev, split, idx, t):
     """Compose frames (len(idx),) x stored-frame t on device."""
     d = dev[split]
@@ -136,7 +124,7 @@ def clip_pixels(dev, split, i, pos):
 
 
 # ---------------------------------------------------------------------------
-# Stage 1
+# Stage 1 / latents / stage 2: shared loops (mage_tpu/training/e2e.py)
 # ---------------------------------------------------------------------------
 
 
@@ -144,120 +132,24 @@ def stage1(args, dev, out_dir):
     model = VectorQuantizedVAE(
         input_dim=1, down_ratio=4, dim=args.dim, K=args.codebook
     )
-    tx = vt.make_tx(args.lr1)
-    state = vt.create_state(
-        model, jax.random.PRNGKey(args.seed), jnp.zeros((1, 64, 64, 1)), tx
+    state = e2e.run_vqvae_stage1(
+        args, model,
+        frames_at=lambda split, idx, t: frames_at(dev, split, idx, t),
+        t_store=T_STORED,
+        n_train=int(dev["train"]["d1"].shape[0]),
+        n_val=int(dev["val"]["d1"].shape[0]),
+        input_shape=(64, 64, 1),
+        out_dir=out_dir,
+        eval_cap=512,
+        ssim_count=args.eval_videos,
+        data_range=1.0,
     )
-    print(f"stage-1 params: "
-          f"{sum(x.size for x in jax.tree_util.tree_leaves(state.params)):,}")
-    ckpt = Checkpointer(os.path.join(out_dir, "vqvae"))
-
-    n = int(dev["train"]["d1"].shape[0])
-    b = args.batch1
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_chunk(state, rng, lr):
-        def body(carry, _):
-            state, rng = carry
-            rng, k1, k2 = jax.random.split(rng, 3)
-            s = jax.random.randint(k1, (b,), 0, n)
-            f = jax.random.randint(k2, (b,), 0, T_STORED)
-            frames = frames_at(dev, "train", s, f)
-
-            def loss_fn(params):
-                return vt.loss_terms(model, params, state.batch_stats, frames,
-                                     args.beta1, True)
-
-            grads, (mutated, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
-            opt_state = state.opt_state
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            updates, new_opt = tx.update(grads, opt_state, state.params)
-            state = state.replace(
-                step=state.step + 1,
-                params=jax.tree_util.tree_map(
-                    lambda p, u: p + u, state.params, updates
-                ),
-                batch_stats=mutated["batch_stats"],
-                opt_state=new_opt,
-            )
-            return (state, rng), aux["total"]
-
-        (state, _), losses = jax.lax.scan(body, (state, rng), None, length=args.chunk)
-        return state, jnp.mean(losses)
-
-    n_val = int(dev["val"]["d1"].shape[0])
-    eval_b = min(512, n_val)
-
-    @jax.jit
-    def eval_recon(state, frame_idx):
-        s = jnp.arange(eval_b)
-        frames = frames_at(dev, "val", s, jnp.broadcast_to(frame_idx, (eval_b,)))
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        ids = model.apply(variables, frames, method="encode", mutable=False)
-        recon = model.apply(variables, ids, method="decode", mutable=False)
-        used = jnp.unique(ids, size=args.codebook, fill_value=-1)
-        return jnp.mean((recon - frames) ** 2), jnp.sum(used >= 0), frames, recon
-
-    restart_fn = None
-    if args.codebook_restart:
-        restart_fn = jax.jit(vt.make_restart_dead_codes(model))
-
-    steps_per_epoch = max(n // b, 1)
-    chunks = max(round(steps_per_epoch / args.chunk), 1)
-    rng = jax.random.PRNGKey(args.seed + 1)
-    best = float("inf")
-    start_epoch = 0
-    resumed = try_restore_last(ckpt, {"train": state, "rng": rng})
-    if resumed is not None:
-        start_epoch, best, st = resumed
-        state, rng = st["train"], st["rng"]
-        print(f"stage-1 autoresume: epoch {start_epoch}, best mse {best:.6f}")
-    t0 = time.time()
-    for epoch in range(start_epoch, args.stage1_epochs):
-        for _ in range(chunks):
-            rng, sub = jax.random.split(rng)
-            state, loss = train_chunk(state, sub, args.lr1)
-        if restart_fn is not None and epoch % 2 == 1:
-            rng, k1, k2, k3 = jax.random.split(rng, 4)
-            s = jax.random.randint(k1, (64,), 0, n)
-            f = jax.random.randint(k2, (64,), 0, T_STORED)
-            state, _n_dead = restart_fn(state, frames_at(dev, "train", s, f),
-                                        k3)
-        if epoch % 10 == 0 or epoch == args.stage1_epochs - 1:
-            loss = float(jax.device_get(loss))
-            mse, used, frames, recon = eval_recon(state, jnp.int32(0))
-            mse, used = float(jax.device_get(mse)), int(jax.device_get(used))
-            log_metrics(out_dir, {
-                "phase": "stage1", "epoch": epoch, "train_loss": loss,
-                "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
-                "codebook_used": used,
-                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
-            })
-            if mse < best:
-                best = mse
-                ckpt.save("best", jax.device_get(state))
-            save_last(ckpt, epoch, best, {"train": state, "rng": rng})
-    ckpt.save("final", jax.device_get(state))
-
-    mse, used, frames, recon = eval_recon(state, jnp.int32(0))
-    f_np = np.asarray(jax.device_get(frames[: args.eval_videos]))
-    r_np = np.asarray(jax.device_get(recon[: args.eval_videos]))
-    ssim_val = float(np.mean([np_ssim(a, b, data_range=1.0)
-                              for a, b in zip(f_np[..., 0], r_np[..., 0])]))
-    final_mse = float(jax.device_get(mse))
-    log_metrics(out_dir, {
-        "phase": "stage1_final", "val_recon_mse": final_mse,
-        "val_recon_psnr": mse_to_psnr(final_mse), "val_ssim": ssim_val,
-        "codebook_used": int(jax.device_get(used)),
-    })
     return model, state
 
 
 def materialize_latents(args, model, state, dev, split):
     """Encode all 21 stored frames of every clip -> ids (N, 21, h, w)."""
-    d = dev[split]
-    n = int(d["d1"].shape[0])
-    chunk = 50
+    n = int(dev[split]["d1"].shape[0])
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
@@ -269,22 +161,7 @@ def materialize_latents(args, model, state, dev, split):
         ids = model.apply(variables, frames, method="encode", mutable=False)
         return ids.reshape(c, T_STORED, *ids.shape[1:]).astype(jnp.int32)
 
-    outs = []
-    for i in range(0, n, chunk):
-        idx = jnp.arange(i, min(i + chunk, n))
-        if idx.shape[0] < chunk:  # static shapes: pad final chunk
-            idx = jnp.concatenate(
-                [idx, jnp.zeros((chunk - idx.shape[0],), idx.dtype)]
-            )
-            outs.append(encode_chunk(idx)[: n - i])
-        else:
-            outs.append(encode_chunk(idx))
-    return jnp.concatenate(outs)[:n]
-
-
-# ---------------------------------------------------------------------------
-# Stage 2
-# ---------------------------------------------------------------------------
+    return e2e.materialize(n, 50, encode_chunk)
 
 
 def build_pipeline(args, fs_variables):
@@ -318,38 +195,13 @@ def build_pipeline(args, fs_variables):
 
 
 def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
-    tx = make_mage_tx()
     b = args.batch2
     n = int(ids_train.shape[0])
-    ctx = pipeline.core.text_context_length
-    text_train = dev["train"]["text"]
-    text_val = dev["val"]["text"]
+    n_val = int(ids_val.shape[0])
+    eval_b = min(64, n_val)
     len_train = dev["train"]["length"]
     len_val = dev["val"]["length"]
 
-    init_fn = jax.jit(
-        lambda rngs, lat, txt, spd: pipeline.core.init(
-            rngs, lat, txt, spd, train=True
-        )["params"]
-    )
-    params = init_fn(
-        {"params": jax.random.PRNGKey(args.seed),
-         "dropout": jax.random.PRNGKey(args.seed),
-         "latent": jax.random.PRNGKey(args.seed)},
-        jnp.zeros((1, args.frames_length, *ids_train.shape[2:]), jnp.int32),
-        jnp.zeros((1, ctx), jnp.int32),
-        jnp.zeros((1,), jnp.float32),
-    )
-    print(f"stage-2 params: "
-          f"{sum(x.size for x in jax.tree_util.tree_leaves(params)):,}")
-    opt_state = jax.jit(tx.init)(params)
-    step = jnp.zeros((), jnp.int32)
-    alpha, beta = pipeline.alpha, pipeline.beta
-
-    # resident latents/text ride as jit ARGUMENTS, not closure constants:
-    # the remote AOT compile helper serializes closed-over device arrays
-    # with the program, and the 0.5 GB id array overflows its request
-    # limit (HTTP 413 — hit by the KL chain's 0.8 GB moments)
     def batch_at(rng, ids, text):
         k1, k2 = jax.random.split(rng)
         idx = jax.random.randint(k1, (b,), 0, n)
@@ -360,44 +212,7 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
         lat = ids[idx[:, None], pos]
         return {"latents": lat, "text": text[idx], "speed": speed}
 
-    def loss_fn(params, batch, rng):
-        terms = pipeline.loss_terms(params, batch, rng, train=True)
-        final = terms["prediction"] + beta * terms["kl_loss"] + alpha * terms["speed_l2"]
-        terms["final_loss"] = final
-        return final, terms
-
-    if args.bf16:
-        base_loss = loss_fn
-        from mage_tpu.training.mage_trainer import cast_floating
-
-        def loss_fn(params, batch, rng):  # noqa: F811
-            final, terms = base_loss(cast_floating(params, jnp.bfloat16), batch, rng)
-            return final.astype(jnp.float32), jax.tree_util.tree_map(
-                lambda v: v.astype(jnp.float32), terms
-            )
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_chunk(params, opt_state, step, rng, lr, ids, text):
-        def body(carry, _):
-            params, opt_state, step, rng = carry
-            rng, kb, kl = jax.random.split(rng, 3)
-            batch = batch_at(kb, ids, text)
-            grads, terms = jax.grad(loss_fn, has_aux=True)(params, batch, kl)
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return (params, opt_state, step + 1, rng), terms["final_loss"]
-
-        (params, opt_state, step, _), losses = jax.lax.scan(
-            body, (params, opt_state, step, rng), None, length=args.chunk
-        )
-        return params, opt_state, step, jnp.mean(losses)
-
-    n_val = int(ids_val.shape[0])
-    eval_b = min(64, n_val)
-
-    @jax.jit
-    def eval_chunk(params, rng, ids, text):
+    def val_batch_at(rng, ids, text):
         k1, k2, k3 = jax.random.split(rng, 3)
         idx = jax.random.randint(k1, (eval_b,), 0, n_val)
         speed = jax.random.uniform(k2, (eval_b,))
@@ -406,70 +221,18 @@ def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
         )(speed, len_val[idx])
         batch = {"latents": ids[idx[:, None], pos], "text": text[idx],
                  "speed": speed}
-        terms = pipeline.loss_terms(params, batch, k3, train=False)
-        return (terms["prediction"] + beta * terms["kl_loss"]
-                + alpha * terms["speed_l2"]), terms["prediction"]
+        return batch, k3
 
-    steps_per_epoch = max(n // b, 1)
-    chunks = max(round(steps_per_epoch / args.chunk), 1)
-    rng = jax.random.PRNGKey(args.seed + 2)
-    ckpt = Checkpointer(os.path.join(out_dir, "mage"))
-    best = float("inf")
-    start_epoch = 0
-    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
-                                      "step": step, "rng": rng})
-    if resumed is not None:
-        # full optimizer state + host RNG ride in "last", so a continued
-        # run is step-equivalent to an uninterrupted one (modulo the
-        # cosine schedule now spanning the NEW --stage2-epochs)
-        start_epoch, best, st = resumed
-        params, opt_state = st["params"], st["opt_state"]
-        step, rng = st["step"], st["rng"]
-        print(f"stage-2 autoresume: epoch {start_epoch}, best {best:.4f}")
-    elif args.resume:
-        # older runs saved params only: warm-restart Adam (moments
-        # re-estimate within ~100 steps); --resume-epoch supplies the
-        # epoch the run had reached
-        restored = ckpt.restore("final", {
-            "step": jax.device_get(step),
-            "params": jax.device_get(params)})
-        start_epoch = args.resume_epoch
-        params = jax.device_put(restored["params"])
-        step = jax.device_put(restored["step"])
-        # fold the resume point into the RNG stream: without this the
-        # resumed run replays the original run's exact batch/speed/noise
-        # key sequence from epoch 0
-        rng = jax.random.fold_in(rng, start_epoch)
-        print(f"resumed stage 2 at epoch {start_epoch} "
-              f"(step {int(jax.device_get(step))})")
-    t0 = time.time()
-    for epoch in range(start_epoch, args.stage2_epochs):
-        lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
-        for _ in range(chunks):
-            rng, sub = jax.random.split(rng)
-            params, opt_state, step, loss = train_chunk(
-                params, opt_state, step, sub, lr, ids_train, text_train)
-        if epoch % 5 == 0 or epoch == args.stage2_epochs - 1:
-            loss = float(jax.device_get(loss))
-            val_loss, val_pred = map(float, jax.device_get(
-                eval_chunk(params, jax.random.PRNGKey(args.seed + 3),
-                           ids_val, text_val)
-            ))
-            log_metrics(out_dir, {
-                "phase": "stage2", "epoch": epoch, "lr": lr, "train_loss": loss,
-                "val_loss": val_loss, "val_prediction": val_pred,
-                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
-            })
-            if val_loss < best:
-                best = val_loss
-                ckpt.save("best", {"step": jax.device_get(step),
-                                   "params": jax.device_get(params)})
-            save_last(ckpt, epoch, best,
-                      {"params": params, "opt_state": opt_state,
-                       "step": step, "rng": rng})
-    ckpt.save("final", {"step": jax.device_get(step),
-                        "params": jax.device_get(params)})
-    return params
+    return e2e.run_mage_stage2(
+        args, pipeline,
+        batch_at=batch_at, val_batch_at=val_batch_at,
+        lat_train=ids_train, lat_val=ids_val,
+        text_train=dev["train"]["text"], text_val=dev["val"]["text"],
+        out_dir=out_dir,
+        latent_shape=ids_train.shape[2:], latent_dtype=jnp.int32,
+        last_every=5,  # this chain checkpoints full state on every eval
+        legacy_resume_epoch=args.resume_epoch if args.resume else None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -601,41 +364,20 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
         "recon_track_error_px_ceiling": mm_ceil["mean_track_error_px"],
         "recon_direction_acc_ceiling": mm_ceil["initial_direction_acc"],
     })
-    # FVD: generated vs GT clip distributions (in-repo I3D extractor;
-    # documented random weights, seed 42 — see evals/fvd.py)
-    from mage_tpu.evals.fvd import (compute_fvd, fvd_same_split_floor,
-                                    resolve_extractor)
-
-    extractor, fvd_prov, fvd_dim = resolve_extractor("MovingMNIST",
-                                                     batch_size=8)
 
     def to_rgb(v):  # [-0.5, 0.5] grayscale -> [-1, 1] rgb
         return np.repeat(2.0 * np.clip(v + 0.5, 0, 1) - 1.0, 3, axis=-1)
 
     gt_np = np.asarray(jax.device_get(gt))[:, 1:]
-    fvd_gen = compute_fvd(to_rgb(gt_np),
-                          to_rgb(np.asarray(jax.device_get(video))),
-                          extractor)
-    fvd_recon = compute_fvd(to_rgb(gt_np),
-                            to_rgb(np.asarray(jax.device_get(recon_gt))[:, 1:]),
-                            extractor)
-    fvd_floor = fvd_same_split_floor(to_rgb(gt_np), extractor)
-    log_metrics(out_dir, {
-        "phase": f"fvd_{split}", "samples": g,
-        "fvd_gen_vs_gt": float(fvd_gen),
-        "fvd_recon_vs_gt": float(fvd_recon),
-        "fvd_same_split_floor": float(fvd_floor),
-        "fvd_gen_over_floor": float(fvd_gen / max(fvd_floor, 1e-12)),
-        "extractor": fvd_prov,
-        "feature_dim": fvd_dim,
-    })
+    e2e.log_fvd(out_dir, split, "MovingMNIST",
+                to_rgb(gt_np),
+                to_rgb(np.asarray(jax.device_get(video))),
+                to_rgb(np.asarray(jax.device_get(recon_gt))[:, 1:]),
+                batch_size=8)
 
-    few = np.asarray(jax.device_get(video[: args.gifs]))
-    few_gt = np.asarray(jax.device_get(gt[: args.gifs]))
-    os.makedirs(os.path.join(out_dir, "gifs"), exist_ok=True)
-    for i in range(few.shape[0]):
-        side = np.concatenate([few_gt[i, 1:], few[i]], axis=2) * 2.0
-        save_gif(side, os.path.join(out_dir, "gifs", f"{split}_{i}.gif"))
+    e2e.write_side_gifs(out_dir, split, np.asarray(jax.device_get(gt)),
+                        np.asarray(jax.device_get(video)), args.gifs,
+                        scale=2.0)
     return mse_gen
 
 
@@ -685,22 +427,12 @@ def main(argv=None):
 
     pipeline = build_pipeline(args, fs_variables)
     if args.eval_only:
-        ctx = pipeline.core.text_context_length
-        tmpl = jax.jit(
-            lambda: pipeline.core.init(
-                {"params": jax.random.PRNGKey(args.seed),
-                 "dropout": jax.random.PRNGKey(args.seed),
-                 "latent": jax.random.PRNGKey(args.seed)},
-                jnp.zeros((1, args.frames_length, *ids_train.shape[2:]),
-                          jnp.int32),
-                jnp.zeros((1, ctx), jnp.int32),
-                jnp.zeros((1,), jnp.float32),
-                train=True,
-            )["params"]
-        )()
+        params = e2e.init_stage2_params(pipeline, args.seed,
+                                        args.frames_length,
+                                        ids_train.shape[2:], jnp.int32)
         restored = Checkpointer(os.path.join(args.out, "mage")).restore(
             args.eval_ckpt, {"step": jnp.zeros((), jnp.int32),
-                             "params": jax.device_get(tmpl)})
+                             "params": jax.device_get(params)})
         params = jax.device_put(restored["params"])
     else:
         params = stage2(args, pipeline, dev, ids_train, ids_val, args.out)

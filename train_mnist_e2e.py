@@ -17,6 +17,11 @@ single-chip backend, where per-step host<->device transfers are ruinous
    ground truth, and sample GIFs; everything appended to
    <out>/e2e_metrics.json.
 
+The training loops live in mage_tpu/training/e2e.py (shared by all five
+e2e chains); this driver supplies the MNIST-specific pieces: on-device
+frame composition, speed-conditioned clip indices, and the generation
+eval.
+
 Usage (real chip):
     python train_mnist_e2e.py --out runs/mnist_e2e
 Smoke (CPU):
@@ -26,8 +31,6 @@ Smoke (CPU):
 from __future__ import annotations
 
 import argparse
-import functools
-import json
 import os
 import time
 
@@ -37,13 +40,13 @@ import numpy as np
 
 from mage_tpu.data import device_data as dd
 from mage_tpu.models.vqvae import VectorQuantizedVAE
+from mage_tpu.training import e2e
 from mage_tpu.training import vqvae_trainer as vt
-from mage_tpu.training.autoresume import save_last, try_restore_last
 from mage_tpu.training.checkpoint import Checkpointer
-from mage_tpu.training.lr import epoch_lr
-from mage_tpu.training.mage_trainer import make_mage_tx
-from mage_tpu.evals.metrics import ssim as np_ssim
 from mage_tpu.utils.media import save_gif
+
+log_metrics = e2e.log_metrics
+mse_to_psnr = e2e.mse_to_psnr
 
 
 def parse_args(argv=None):
@@ -90,20 +93,15 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def log_metrics(out_dir, record):
-    record = dict(record, time=time.time())
-    with open(os.path.join(out_dir, "e2e_metrics.json"), "a") as fp:
-        fp.write(json.dumps(record) + "\n")
-    print("METRIC", json.dumps(record), flush=True)
-
-
-def mse_to_psnr(mse, data_range=1.0):
-    # frames live in [-0.5, 0.5] -> range 1.0
-    return float(10.0 * np.log10(data_range**2 / max(mse, 1e-12)))
+def frames_at(dev, split, idx, t):
+    """Compose frames (len(idx),) x stored-frame t on device."""
+    d = dev[split]
+    return dd.compose_frames(dev["bank"], d["digit"][idx],
+                             d["ys"][idx, t], d["xs"][idx, t])
 
 
 # ---------------------------------------------------------------------------
-# Stage 1
+# Stage 1 / latents / stage 2: shared loops (mage_tpu/training/e2e.py)
 # ---------------------------------------------------------------------------
 
 
@@ -111,150 +109,41 @@ def stage1(args, dev, out_dir):
     model = VectorQuantizedVAE(
         input_dim=1, down_ratio=4, dim=args.dim, K=args.codebook
     )
-    tx = vt.make_tx(args.lr1)
-    state = vt.create_state(
-        model, jax.random.PRNGKey(args.seed), jnp.zeros((1, 64, 64, 1)), tx
+    state = e2e.run_vqvae_stage1(
+        args, model,
+        frames_at=lambda split, idx, t: frames_at(dev, split, idx, t),
+        t_store=dd.SEQ_LENGTH,
+        n_train=int(dev["train"]["digit"].shape[0]),
+        n_val=int(dev["val"]["digit"].shape[0]),
+        input_shape=(64, 64, 1),
+        out_dir=out_dir,
+        eval_cap=512,
+        ssim_count=args.eval_videos,
+        data_range=1.0,
     )
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
-    print(f"stage-1 params: {n_params:,}")
-    ckpt = Checkpointer(os.path.join(out_dir, "vqvae"))
-
-    bank, tr = dev["bank"], dev["train"]
-    n, t = int(tr["digit"].shape[0]), dd.SEQ_LENGTH
-    b = args.batch1
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_chunk(state, rng, lr):
-        def body(carry, _):
-            state, rng = carry
-            rng, k1, k2 = jax.random.split(rng, 3)
-            s = jax.random.randint(k1, (b,), 0, n)
-            f = jax.random.randint(k2, (b,), 0, t)
-            frames = dd.compose_frames(bank, tr["digit"][s], tr["ys"][s, f], tr["xs"][s, f])
-
-            def loss_fn(params):
-                return vt.loss_terms(model, params, state.batch_stats, frames,
-                                     args.beta1, True)
-
-            grads, (mutated, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
-            opt_state = state.opt_state
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            updates, new_opt = tx.update(grads, opt_state, state.params)
-            state = state.replace(
-                step=state.step + 1,
-                params=jax.tree_util.tree_map(
-                    lambda p, u: p + u, state.params, updates
-                ),
-                batch_stats=mutated["batch_stats"],
-                opt_state=new_opt,
-            )
-            return (state, rng), aux["total"]
-
-        (state, _), losses = jax.lax.scan(body, (state, rng), None, length=args.chunk)
-        return state, jnp.mean(losses)
-
-    va = dev["val"]
-    n_val = int(va["digit"].shape[0])
-    eval_b = min(512, n_val)
-
-    @jax.jit
-    def eval_recon(state, frame_idx):
-        """Val recon MSE: eval-mode BN (the statistics stage 2 will use)."""
-        s = jnp.arange(eval_b)
-        frames = dd.compose_frames(
-            bank, va["digit"][s], va["ys"][s, frame_idx], va["xs"][s, frame_idx]
-        )
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        ids = model.apply(variables, frames, method="encode", mutable=False)
-        recon = model.apply(variables, ids, method="decode", mutable=False)
-        used = jnp.unique(ids, size=args.codebook, fill_value=-1)
-        return (
-            jnp.mean((recon - frames) ** 2),
-            jnp.sum(used >= 0),
-            frames,
-            recon,
-        )
-
-    steps_per_epoch = max(n // b, 1)
-    chunks = max(round(steps_per_epoch / args.chunk), 1)
-    rng = jax.random.PRNGKey(args.seed + 1)
-    best = float("inf")
-    start_epoch = 0
-    resumed = try_restore_last(ckpt, {"train": state, "rng": rng})
-    if resumed is not None:
-        start_epoch, best, st = resumed
-        state, rng = st["train"], st["rng"]
-        print(f"stage-1 autoresume: epoch {start_epoch}, best mse {best:.6f}")
-    t0 = time.time()
-    for epoch in range(start_epoch, args.stage1_epochs):
-        for _ in range(chunks):
-            rng, sub = jax.random.split(rng)
-            state, loss = train_chunk(state, sub, args.lr1)
-        loss = float(jax.device_get(loss))
-        if epoch % 10 == 0 or epoch == args.stage1_epochs - 1:
-            mse, used, frames, recon = eval_recon(state, jnp.int32(0))
-            mse, used = float(jax.device_get(mse)), int(jax.device_get(used))
-            log_metrics(out_dir, {
-                "phase": "stage1", "epoch": epoch, "train_loss": loss,
-                "val_recon_mse": mse, "val_recon_psnr": mse_to_psnr(mse),
-                "codebook_used": used,
-                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
-            })
-            if mse < best:
-                best = mse
-                ckpt.save("best", jax.device_get(state))
-            save_last(ckpt, epoch, best, {"train": state, "rng": rng})
-    ckpt.save("final", jax.device_get(state))
-
-    # host-side SSIM + grids on a small fetched subset
-    mse, used, frames, recon = eval_recon(state, jnp.int32(0))
-    f_np = np.asarray(jax.device_get(frames[: args.eval_videos]))
-    r_np = np.asarray(jax.device_get(recon[: args.eval_videos]))
-    ssim_val = float(np.mean([np_ssim(a, b, data_range=1.0)
-                              for a, b in zip(f_np[..., 0], r_np[..., 0])]))
-    final_mse = float(jax.device_get(mse))
-    log_metrics(out_dir, {
-        "phase": "stage1_final", "val_recon_mse": final_mse,
-        "val_recon_psnr": mse_to_psnr(final_mse), "val_ssim": ssim_val,
-        "codebook_used": int(jax.device_get(used)),
-    })
     return model, state
 
 
 def materialize_latents(args, model, state, dev, split):
     """Encode every stored frame of ``split`` -> resident ids (N, 20, h, w)."""
-    bank, d = dev["bank"], dev[split]
+    d = dev[split]
     n = int(d["digit"].shape[0])
-    chunk = 50
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
-    def encode_chunk(digit_c, ys_c, xs_c):
-        c = digit_c.shape[0]
-        idx = jnp.repeat(digit_c, dd.SEQ_LENGTH)
-        frames = dd.compose_frames(
-            bank, idx, ys_c.reshape(-1), xs_c.reshape(-1)
-        )
+    def encode_chunk(idx):
+        c = idx.shape[0]
+        flat_idx = jnp.repeat(idx, dd.SEQ_LENGTH)
+        t = jnp.tile(jnp.arange(dd.SEQ_LENGTH), c)
+        frames = frames_at(dev, split, flat_idx, t)
         ids = model.apply(variables, frames, method="encode", mutable=False)
         return ids.reshape(c, dd.SEQ_LENGTH, *ids.shape[1:]).astype(jnp.int32)
 
-    outs = []
-    pad = (-n) % chunk
-    dig = jnp.concatenate([d["digit"], d["digit"][:pad]]) if pad else d["digit"]
-    ys = jnp.concatenate([d["ys"], d["ys"][:pad]]) if pad else d["ys"]
-    xs = jnp.concatenate([d["xs"], d["xs"][:pad]]) if pad else d["xs"]
-    for i in range(0, n + pad, chunk):
-        outs.append(encode_chunk(dig[i:i+chunk], ys[i:i+chunk], xs[i:i+chunk]))
-    return jnp.concatenate(outs)[:n]
-
-
-# ---------------------------------------------------------------------------
-# Stage 2
-# ---------------------------------------------------------------------------
+    return e2e.materialize(n, 50, encode_chunk)
 
 
 def build_pipeline(args, fs_variables):
-    from mage_tpu.config import load_config, instantiate_from_config
+    from mage_tpu.config import load_config
 
     cfg = load_config(args.config)
     cfg.model.params.first_stage_config.params.pop("ckpt_path", None)
@@ -286,141 +175,44 @@ def build_pipeline(args, fs_variables):
 
 
 def stage2(args, pipeline, dev, ids_train, ids_val, out_dir):
-    tx = make_mage_tx()
     b = args.batch2
     n = int(ids_train.shape[0])
-    ctx = pipeline.core.text_context_length
-    text_train = dev["train"]["text"]
-    text_val = dev["val"]["text"]
-
-    init_fn = jax.jit(
-        lambda rngs, lat, txt, spd: pipeline.core.init(rngs, lat, txt, spd, train=True)[
-            "params"
-        ]
-    )
-    params = init_fn(
-        {"params": jax.random.PRNGKey(args.seed),
-         "dropout": jax.random.PRNGKey(args.seed),
-         "latent": jax.random.PRNGKey(args.seed)},
-        jnp.zeros((1, args.frames_length, *ids_train.shape[2:]), jnp.int32),
-        jnp.zeros((1, ctx), jnp.int32),
-        jnp.zeros((1,), jnp.float32),
-    )
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    print(f"stage-2 params: {n_params:,}")
-    opt_state = jax.jit(tx.init)(params)
-    step = jnp.zeros((), jnp.int32)
-    alpha, beta = pipeline.alpha, pipeline.beta
-
-    def batch_at(rng):
-        k1, k2 = jax.random.split(rng)
-        idx = jax.random.randint(k1, (b,), 0, n)
-        speed = jax.random.uniform(k2, (b,))
-        pos = jax.vmap(lambda s: dd.clip_indices(s, frames_length=args.frames_length))(speed)
-        lat = ids_train[idx[:, None], pos]
-        return {"latents": lat, "text": text_train[idx], "speed": speed}
-
-    def loss_fn(params, batch, rng):
-        terms = pipeline.loss_terms(params, batch, rng, train=True)
-        final = terms["prediction"] + beta * terms["kl_loss"] + alpha * terms["speed_l2"]
-        terms["final_loss"] = final
-        return final, terms
-
-    if args.bf16:
-        # mixed precision: f32 master params, bf16 compute (matmuls/convs on
-        # the MXU at 2x; reductions in the loss stay f32 via jnp promotion)
-        base_loss = loss_fn
-
-        from mage_tpu.training.mage_trainer import cast_floating
-
-        def loss_fn(params, batch, rng):  # noqa: F811
-            final, terms = base_loss(cast_floating(params, jnp.bfloat16), batch, rng)
-            return final.astype(jnp.float32), jax.tree_util.tree_map(
-                lambda v: v.astype(jnp.float32), terms
-            )
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_chunk(params, opt_state, step, rng, lr):
-        def body(carry, _):
-            params, opt_state, step, rng = carry
-            rng, kb, kl = jax.random.split(rng, 3)
-            batch = batch_at(kb)
-            grads, terms = jax.grad(loss_fn, has_aux=True)(params, batch, kl)
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return (params, opt_state, step + 1, rng), terms["final_loss"]
-
-        (params, opt_state, step, _), losses = jax.lax.scan(
-            body, (params, opt_state, step, rng), None, length=args.chunk
-        )
-        return params, opt_state, step, jnp.mean(losses)
-
     n_val = int(ids_val.shape[0])
     eval_b = min(64, n_val)
 
-    @jax.jit
-    def eval_chunk(params, rng):
+    def batch_at(rng, ids, text):
+        k1, k2 = jax.random.split(rng)
+        idx = jax.random.randint(k1, (b,), 0, n)
+        speed = jax.random.uniform(k2, (b,))
+        pos = jax.vmap(lambda s: dd.clip_indices(
+            s, frames_length=args.frames_length))(speed)
+        lat = ids[idx[:, None], pos]
+        return {"latents": lat, "text": text[idx], "speed": speed}
+
+    def val_batch_at(rng, ids, text):
         k1, k2, k3 = jax.random.split(rng, 3)
         idx = jax.random.randint(k1, (eval_b,), 0, n_val)
         speed = jax.random.uniform(k2, (eval_b,))
-        pos = jax.vmap(lambda s: dd.clip_indices(s, frames_length=args.frames_length))(speed)
-        batch = {"latents": ids_val[idx[:, None], pos], "text": text_val[idx],
+        pos = jax.vmap(lambda s: dd.clip_indices(
+            s, frames_length=args.frames_length))(speed)
+        batch = {"latents": ids[idx[:, None], pos], "text": text[idx],
                  "speed": speed}
-        terms = pipeline.loss_terms(params, batch, k3, train=False)
-        return (terms["prediction"] + beta * terms["kl_loss"]
-                + alpha * terms["speed_l2"]), terms["prediction"]
+        return batch, k3
 
-    steps_per_epoch = max(n // b, 1)
-    chunks = max(round(steps_per_epoch / args.chunk), 1)
-    rng = jax.random.PRNGKey(args.seed + 2)
-    ckpt = Checkpointer(os.path.join(out_dir, "mage"))
-    best = float("inf")
-    start_epoch = 0
-    resumed = try_restore_last(ckpt, {"params": params, "opt_state": opt_state,
-                                      "step": step, "rng": rng})
-    if resumed is not None:
-        start_epoch, best, st = resumed
-        params, opt_state = st["params"], st["opt_state"]
-        step, rng = st["step"], st["rng"]
-        print(f"stage-2 autoresume: epoch {start_epoch}, best {best:.4f}")
-    t0 = time.time()
-    for epoch in range(start_epoch, args.stage2_epochs):
-        lr = epoch_lr(args.lr2, epoch, args.stage2_epochs, cos=True)
-        for _ in range(chunks):
-            rng, sub = jax.random.split(rng)
-            params, opt_state, step, loss = train_chunk(params, opt_state, step, sub, lr)
-        if epoch % 5 == 0 or epoch == args.stage2_epochs - 1:
-            loss = float(jax.device_get(loss))
-            val_loss, val_pred = map(float, jax.device_get(
-                eval_chunk(params, jax.random.PRNGKey(args.seed + 3))
-            ))
-            log_metrics(out_dir, {
-                "phase": "stage2", "epoch": epoch, "lr": lr, "train_loss": loss,
-                "val_loss": val_loss, "val_prediction": val_pred,
-                "sec_per_epoch": (time.time() - t0) / (epoch - start_epoch + 1),
-            })
-            improved = val_loss < best
-            if improved:
-                best = val_loss
-                ckpt.save("best", {"step": jax.device_get(step),
-                                   "params": jax.device_get(params)})
-            # save_last also on improvement: a crash between "best" and the
-            # next 10-epoch "last" would otherwise resume with a stale best
-            # metric and overwrite the true pre-crash best checkpoint
-            if improved or epoch % 10 == 0 or epoch == args.stage2_epochs - 1:
-                save_last(ckpt, epoch, best,
-                          {"params": params, "opt_state": opt_state,
-                           "step": step, "rng": rng})
-    ckpt.save("final", {"step": jax.device_get(step),
-                        "params": jax.device_get(params)})
-    return params
+    return e2e.run_mage_stage2(
+        args, pipeline,
+        batch_at=batch_at, val_batch_at=val_batch_at,
+        lat_train=ids_train, lat_val=ids_val,
+        text_train=dev["train"]["text"], text_val=dev["val"]["text"],
+        out_dir=out_dir,
+        latent_shape=ids_train.shape[2:], latent_dtype=jnp.int32,
+    )
 
 
 def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
     """AR-generate from val/train first frames; PSNR vs pixel ground truth
     (and vs the VQ recon upper bound); dump a few GIFs."""
-    bank, d = dev["bank"], dev[split]
+    d = dev[split]
     g = min(args.eval_videos, int(ids.shape[0]))
     text = d["text"][:g]
     speed = jnp.full((g,), 0.5, jnp.float32)
@@ -441,11 +233,8 @@ def eval_generation(args, pipeline, params, dev, ids, split, out_dir):
         # one, which XLA miscompiles (see tests/test_device_data.py
         # nested-vmap regression). Matches materialize_latents' call shape.
         L = pos.shape[1]
-        rows = jnp.repeat(jnp.arange(g), L)
-        cols = pos.reshape(-1)
-        gt_flat = dd.compose_frames(
-            bank, jnp.repeat(d["digit"][:g], L),
-            d["ys"][rows, cols], d["xs"][rows, cols])
+        gt_flat = frames_at(dev, split, jnp.repeat(jnp.arange(g), L),
+                            pos.reshape(-1))
         gt = gt_flat.reshape(g, L, *gt_flat.shape[1:])
         recon_gt = pipeline.first_stage.decode(
             ids[:g][jnp.arange(g)[:, None], pos], variables=fs_vars
