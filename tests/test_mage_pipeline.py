@@ -420,3 +420,48 @@ def test_bert_pretrained_torch_checkpoint(tmp_path):
         ).last_hidden_state.numpy()
     expect = t_hidden @ np.asarray(grafted["text_projection_key"])
     np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
+
+
+def test_pid_closed_loop_holds_nonzero_equilibrium_beta():
+    """Closed-loop regulation on a responsive plant (the regime the e2e
+    cosine-LR schedule cannot reach: there, lr -> 0 freezes the dynamics
+    and any correct controller must release beta — see
+    docs/results/CAPABILITIES.md item 3). Plant: first-order KL dynamics
+    whose free (beta=0) steady state sits ABOVE the setpoint and which
+    responds linearly to beta — kl* = kl_free * (1 - c*beta). The
+    controller (reference gains kp=0.01, ki=-1e-4,
+    mage_model.py:406-434) must drive KL to the setpoint and HOLD a
+    nonzero equilibrium beta = (1 - target/kl_free)/c = 0.75."""
+    from mage_tpu.training.pid import initial_pid_state, pid_update
+
+    kl_free, c, rate, target, steps = 10.0, 0.8, 0.05, 4.0, 12_000
+
+    # host twin
+    pid = PIDControl()
+    kl = kl_free
+    kls, betas = [], []
+    for _ in range(steps):
+        b, _ = pid.pid(target, kl)
+        kl += rate * (kl_free * (1.0 - c * b) - kl)
+        kls.append(kl)
+        betas.append(b)
+    tail_kl = np.mean(kls[-1000:])
+    tail_beta = np.mean(betas[-1000:])
+    assert abs(tail_kl - target) < 0.1, tail_kl
+    assert 0.5 < tail_beta < 0.95, tail_beta
+    assert np.std(betas[-1000:]) < 1e-3  # held, not oscillating
+    assert min(betas[-1000:]) > 0.0  # never releases
+
+    # jit twin: the same closed loop as one lax.scan program
+    def step(carry, _):
+        state, kl = carry
+        beta, state = pid_update(state, target, kl)
+        kl = kl + rate * (kl_free * (1.0 - c * beta) - kl)
+        return (state, kl), (kl, beta)
+
+    (_, kl_end), (kl_tr, beta_tr) = jax.lax.scan(
+        step, (initial_pid_state(), jnp.float32(kl_free)), None,
+        length=steps,
+    )
+    assert abs(float(jnp.mean(kl_tr[-1000:])) - tail_kl) < 0.05
+    assert abs(float(jnp.mean(beta_tr[-1000:])) - tail_beta) < 0.01
